@@ -1,0 +1,4 @@
+"""Geometry & group-theory core: irreps, SO(3)/SE(3) algebra, Wigner-D,
+spherical harmonics, Clebsch-Gordan tables, IGSO(3) diffusion math."""
+from . import cg, igso3, sh, so3, wigner  # noqa: F401
+from .irreps import Irrep, Irreps, multiply_irreps, sort_irreps_even_first  # noqa: F401

@@ -1,0 +1,66 @@
+"""Real spherical harmonics on device.
+
+Replaces ``e3nn.o3.SphericalHarmonics(..., normalize=True,
+normalization='component')`` (used at ``graph_parser.py:135`` and
+``unet_feature_extractor.py:146`` of the reference).  Built by the same CG
+recursion as :mod:`.wigner` so SH, Wigner-D and tensor products are all
+mutually equivariant by construction:
+
+    Y_0 = 1
+    Y_1(u) = sqrt(3) * (u_y, u_z, u_x)
+    Y_l(u) = c_l * einsum('a,b,abm->m', Y_1, Y_{l-1}, w3j(1, l-1, l))
+
+with ``c_l`` fixed so ``|Y_l(u)| = sqrt(2l+1)`` on the unit sphere
+(component normalization).  Everything unrolls into a short chain of fused
+polynomial ops — no trig, no Legendre recurrences.
+"""
+from __future__ import annotations
+
+from typing import List, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import sh_recursion_norm, w3j
+from .irreps import Irreps
+
+__all__ = ["spherical_harmonics"]
+
+
+def spherical_harmonics(
+    irreps: Union[str, Irreps, int],
+    vec: jnp.ndarray,
+    normalize: bool = True,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Component-normalized real SH of ``vec`` (..., 3).
+
+    ``irreps`` may be an int ``lmax`` (returns all l = 0..lmax, each mul 1) or
+    an ``Irreps`` like ``"1x0e+1x1e+1x2e"`` (mul must be 1 per entry; parity is
+    metadata only — SH of degree l has parity (-1)^l).
+    """
+    if isinstance(irreps, int):
+        ls = list(range(irreps + 1))
+    else:
+        irreps = Irreps(irreps)
+        ls = []
+        for mul, ir in irreps:
+            assert mul == 1, f"SH irreps must have multiplicity 1, got {irreps}"
+            ls.append(ir.l)
+    lmax = max(ls)
+
+    if normalize:
+        norm = jnp.sqrt(jnp.sum(jnp.square(vec), axis=-1, keepdims=True) + eps)
+        u = vec / norm
+    else:
+        u = vec
+
+    ys: List[jnp.ndarray] = [jnp.ones(u.shape[:-1] + (1,), dtype=u.dtype)]
+    if lmax >= 1:
+        y1 = jnp.sqrt(jnp.asarray(3.0, dtype=u.dtype)) * u[..., jnp.array([1, 2, 0])]
+        ys.append(y1)
+    for l in range(2, lmax + 1):
+        C = jnp.asarray(np.asarray(w3j(1, l - 1, l)) * sh_recursion_norm(l), dtype=u.dtype)
+        ys.append(jnp.einsum("...a,...b,abm->...m", ys[1], ys[l - 1], C))
+
+    return jnp.concatenate([ys[l] for l in ls], axis=-1)

@@ -1,0 +1,177 @@
+"""Quaternion / SE(3) algebra in JAX.
+
+Semantics follow the reference's pytorch3d-derived ``transforms.py``
+(``/root/reference/diffusion_edf/transforms.py``): quaternions are
+``(w, x, y, z)`` with real part first; poses are 7-vectors
+``(qw, qx, qy, qz, x, y, z)`` (``README.md:77-79``).
+
+All functions are shape-polymorphic over leading batch dims and dtype
+preserving; designed to live inside jit/scan (no python branching on data).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "quaternion_raw_multiply",
+    "quaternion_multiply",
+    "quaternion_invert",
+    "quaternion_apply",
+    "normalize_quaternion",
+    "standardize_quaternion",
+    "axis_angle_to_quaternion",
+    "quaternion_to_matrix",
+    "matrix_to_quaternion",
+    "random_quaternions",
+    "multiply_se3",
+    "se3_invert",
+    "transform_points",
+    "se3_from_quat_trans",
+]
+
+
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product (no normalization); ``transforms.py:113``."""
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    ow = aw * bw - ax * bx - ay * by - az * bz
+    ox = aw * bx + ax * bw + ay * bz - az * by
+    oy = aw * by - ax * bz + ay * bw + az * bx
+    oz = aw * bz + ax * by - ay * bx + az * bw
+    return jnp.stack([ow, ox, oy, oz], axis=-1)
+
+
+def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
+    """Make the real part non-negative; ``transforms.py:198``."""
+    return jnp.where(q[..., :1] < 0, -q, q)
+
+
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
+def quaternion_invert(q: jnp.ndarray) -> jnp.ndarray:
+    """Conjugate (assumes unit quaternion); ``transforms.py:132``."""
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quaternion_apply(q: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """Rotate ``point`` (..., 3) by unit quaternion ``q`` (..., 4);
+    ``transforms.py:147``.  Uses the expanded Rodrigues form (cheaper than
+    two Hamilton products and free of the zero-padding concat)."""
+    w = q[..., :1]
+    v = q[..., 1:]
+    t = 2.0 * jnp.cross(v, point)
+    return point + w * t + jnp.cross(v, t)
+
+
+def normalize_quaternion(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + eps)
+    return q / norm
+
+
+def axis_angle_to_quaternion(axis_angle: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Rotation-vector -> quaternion with a stable small-angle branch;
+    ``transforms.py:853``."""
+    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    # sin(x)/x expansion for small x: 0.5 - angle^2 / 48
+    small = angle < 1e-6
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - (angle * angle) / 48.0, jnp.sin(half) / jnp.where(small, 1.0, angle)
+    )
+    return jnp.concatenate([jnp.cos(half), axis_angle * sin_half_over_angle], axis=-1)
+
+
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    two = jnp.asarray(2.0, dtype=q.dtype)
+    m = jnp.stack(
+        [
+            1 - two * (y * y + z * z), two * (x * y - w * z), two * (x * z + w * y),
+            two * (x * y + w * z), 1 - two * (x * x + z * z), two * (y * z - w * x),
+            two * (x * z - w * y), two * (y * z + w * x), 1 - two * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return m.reshape(*q.shape[:-1], 3, 3)
+
+
+def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> unit quaternion (w,x,y,z), branch-free.
+
+    Uses the 4-candidate trick: compute all four |q_i|^2 from the diagonal,
+    pick the largest for stability.
+    """
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw2 = jnp.maximum(0.0, 1.0 + tr) / 4.0
+    qx2 = jnp.maximum(0.0, 1.0 + m00 - m11 - m22) / 4.0
+    qy2 = jnp.maximum(0.0, 1.0 - m00 + m11 - m22) / 4.0
+    qz2 = jnp.maximum(0.0, 1.0 - m00 - m11 + m22) / 4.0
+
+    cands = []
+    # candidate anchored on w
+    w = jnp.sqrt(qw2 + 1e-30)
+    cands.append(jnp.stack([w, (m[..., 2, 1] - m[..., 1, 2]) / (4 * w),
+                            (m[..., 0, 2] - m[..., 2, 0]) / (4 * w),
+                            (m[..., 1, 0] - m[..., 0, 1]) / (4 * w)], axis=-1))
+    x = jnp.sqrt(qx2 + 1e-30)
+    cands.append(jnp.stack([(m[..., 2, 1] - m[..., 1, 2]) / (4 * x), x,
+                            (m[..., 0, 1] + m[..., 1, 0]) / (4 * x),
+                            (m[..., 0, 2] + m[..., 2, 0]) / (4 * x)], axis=-1))
+    y = jnp.sqrt(qy2 + 1e-30)
+    cands.append(jnp.stack([(m[..., 0, 2] - m[..., 2, 0]) / (4 * y),
+                            (m[..., 0, 1] + m[..., 1, 0]) / (4 * y), y,
+                            (m[..., 1, 2] + m[..., 2, 1]) / (4 * y)], axis=-1))
+    z = jnp.sqrt(qz2 + 1e-30)
+    cands.append(jnp.stack([(m[..., 1, 0] - m[..., 0, 1]) / (4 * z),
+                            (m[..., 0, 2] + m[..., 2, 0]) / (4 * z),
+                            (m[..., 1, 2] + m[..., 2, 1]) / (4 * z), z], axis=-1))
+    mags = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)
+    best = jnp.argmax(mags, axis=-1)
+    stacked = jnp.stack(cands, axis=-2)  # (..., 4cand, 4)
+    q = jnp.take_along_axis(stacked, best[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    return standardize_quaternion(normalize_quaternion(q))
+
+
+def random_quaternions(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform random unit quaternions; ``transforms.py:350``."""
+    q = jax.random.normal(key, (n, 4), dtype=dtype)
+    return standardize_quaternion(normalize_quaternion(q))
+
+
+# --------------------------------------------------------------------------- #
+# SE(3) as (q, t) 7-vectors
+# --------------------------------------------------------------------------- #
+def se3_from_quat_trans(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([q, t], axis=-1)
+
+
+def multiply_se3(T1: jnp.ndarray, T2: jnp.ndarray) -> jnp.ndarray:
+    """(q1,t1) * (q2,t2) = (q1 q2, t1 + q1 t2); ``transforms.py:884``."""
+    q1, t1 = T1[..., :4], T1[..., 4:]
+    q2, t2 = T2[..., :4], T2[..., 4:]
+    q = quaternion_raw_multiply(q1, q2)
+    t = t1 + quaternion_apply(q1, t2)
+    return jnp.concatenate([q, t], axis=-1)
+
+
+def se3_invert(T: jnp.ndarray) -> jnp.ndarray:
+    """(q,t)^-1 = (q^-1, -q^-1 t); ``transforms.py:908``."""
+    q, t = T[..., :4], T[..., 4:]
+    qi = quaternion_invert(q)
+    return jnp.concatenate([qi, -quaternion_apply(qi, t)], axis=-1)
+
+
+def transform_points(points: jnp.ndarray, Ts: jnp.ndarray) -> jnp.ndarray:
+    """Apply poses ``Ts`` (nT, 7) to points (nP, 3) -> (nT, nP, 3).
+
+    Mirrors ``edf_interface.data.pcd_utils.transform_points`` usage in
+    ``gnn_data.py:94``.
+    """
+    q = Ts[..., None, :4]
+    t = Ts[..., None, 4:]
+    return quaternion_apply(q, points) + t

@@ -1,0 +1,98 @@
+"""On-device Wigner-D matrices from quaternions and irreps feature rotation.
+
+The reference rotates query features through quaternion -> YXY Euler angles ->
+cached ``_Jd`` matrices (``/root/reference/diffusion_edf/wigner.py:17-125``,
+``TransformFeatureQuaternion`` at ``wigner.py:232``).  Euler extraction is
+branchy and gimbal-prone; on TPU we instead build ``D^l`` as polynomials in the
+rotation matrix via the Clebsch-Gordan recursion
+
+    D^l = (2l+1) * M^T (D^1 ⊗ D^{l-1}) M,   M = w3j(1, l-1, l)
+
+which is exact, branch-free, differentiable, and compiles to a handful of
+small matmuls that XLA fuses.  Constants come from :mod:`..geom.cg`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import w3j_matrix
+from .irreps import Irreps
+from .so3 import quaternion_to_matrix
+
+__all__ = ["wigner_D_from_quaternion", "rotate_irreps", "wigner_D_blocks"]
+
+_AXIS_PERM = (1, 2, 0)  # real l=1 basis (y, z, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _recursion_const(l: int) -> np.ndarray:
+    return np.asarray(w3j_matrix(1, l - 1, l), dtype=np.float64)
+
+
+def wigner_D_blocks(q: jnp.ndarray, lmax: int) -> Dict[int, jnp.ndarray]:
+    """Compute ``{l: D^l(q)}`` for ``l = 0..lmax``; ``q`` is (..., 4) unit.
+
+    Returned matrices have shape (..., 2l+1, 2l+1) in ``q.dtype``.
+    """
+    batch = q.shape[:-1]
+    out: Dict[int, jnp.ndarray] = {0: jnp.ones(batch + (1, 1), dtype=q.dtype)}
+    if lmax == 0:
+        return out
+    R = quaternion_to_matrix(q)
+    perm = list(_AXIS_PERM)
+    D1 = R[..., perm, :][..., :, perm]
+    out[1] = D1
+    for l in range(2, lmax + 1):
+        d_prev = 2 * l - 1
+        M = jnp.asarray(_recursion_const(l), dtype=q.dtype)  # (3*d_prev, 2l+1)
+        Dp = out[l - 1]
+        # kron(D1, Dp) without materializing: contract M on both sides.
+        # T[..., a i, b j] = D1[a b] Dp[i j];  D = (2l+1) M^T T M
+        Mr = M.reshape(3, d_prev, 2 * l + 1)
+        # step 1: K[..., a, i, b, n] = sum_j Dp[i, j] Mr[b, j, n]
+        K = jnp.einsum("...ij,bjn->...ibn", Dp, Mr)
+        # step 2: L[..., a, i, n] = sum_b D1[a, b] K[..., i, b, n]
+        L = jnp.einsum("...ab,...ibn->...ain", D1, K)
+        # step 3: D[..., m, n] = sum_{a,i} Mr[a, i, m] L[..., a, i, n]
+        D = jnp.einsum("aim,...ain->...mn", Mr, L) * (2 * l + 1)
+        out[l] = D
+    return out
+
+
+def wigner_D_from_quaternion(l: int, q: jnp.ndarray) -> jnp.ndarray:
+    """Single-degree convenience wrapper."""
+    return wigner_D_blocks(q, l)[l]
+
+
+def rotate_irreps(irreps: Irreps, f: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Rotate irreps features ``f`` (..., dim) by quaternions ``q`` (..., 4).
+
+    Broadcasting: with ``f`` of shape (nQ, dim) and ``q`` of shape (nT, 4) the
+    result is (nT, nQ, dim) — the bi-equivariance workhorse replacing
+    ``TransformFeatureQuaternion`` (``wigner.py:232-283``).
+    """
+    irreps = Irreps(irreps)
+    D = wigner_D_blocks(q, irreps.lmax)  # each (*q_batch, d, d)
+    q_batch = q.shape[:-1]
+    f_batch = f.shape[:-1]
+    outs = []
+    i = 0
+    for mul, ir in irreps:
+        d = ir.dim
+        blk = f[..., i : i + mul * d].reshape(*f_batch, mul, d)
+        i += mul * d
+        if ir.l == 0:
+            rot = jnp.broadcast_to(blk, q_batch + f_batch + (mul, d))
+        else:
+            Dl = D[ir.l].reshape(q_batch + (1,) * len(f_batch) + (d, d))
+            rot = jnp.einsum(
+                "...ij,...uj->...ui",
+                jnp.broadcast_to(Dl, q_batch + f_batch + (d, d)),
+                jnp.broadcast_to(blk, q_batch + f_batch + (mul, d)),
+            )
+        outs.append(rot.reshape(q_batch + f_batch + (mul * d,)))
+    return jnp.concatenate(outs, axis=-1)

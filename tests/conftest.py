@@ -1,0 +1,15 @@
+"""Test harness config: force CPU with a virtual 8-device mesh so sharding
+tests run without TPU hardware (see SURVEY.md §4 test strategy)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
+# what actually pins tests to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

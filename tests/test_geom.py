@@ -1,0 +1,130 @@
+"""Unit tests for the geometry core: irreps, quaternions, Wigner-D, SH.
+
+Oracle strategy (SURVEY.md §4): every jax op is checked against the float64
+numpy constructions in ``diffusion_edf_tpu.geom.cg`` which are themselves
+anchored to first principles (rep property, orthogonality, l=1 = rotation).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu.geom import cg, so3, wigner
+from diffusion_edf_tpu.geom.irreps import Irreps, multiply_irreps, sort_irreps_even_first
+from diffusion_edf_tpu.geom.sh import spherical_harmonics
+
+
+def _rand_q(key, n=1):
+    return so3.random_quaternions(key, n)
+
+
+class TestIrreps:
+    def test_parse_dim(self):
+        ir = Irreps("64x0e+32x1e+16x2e")
+        assert ir.dim == 64 + 96 + 80
+        assert ir.num_irreps == 112
+        assert ir.lmax == 2
+        assert ir.mul_0 == 64
+
+    def test_simplify_sort(self):
+        ir = Irreps("4x1e+4x1e+2x0e")
+        s, perm, inv = sort_irreps_even_first(ir)
+        assert str(s) == "2x0e+4x1e+4x1e"
+        assert ir.simplify() == Irreps("8x1e+2x0e")
+
+    def test_multiply(self):
+        assert multiply_irreps("4x0e+8x1e", 0.5) == Irreps("2x0e+4x1e")
+
+    def test_slices(self):
+        ir = Irreps("2x0e+1x1e")
+        assert [(s.start, s.stop) for s in ir.slices()] == [(0, 2), (2, 5)]
+
+
+class TestQuaternion:
+    def test_multiply_matches_matrix(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        qa, qb = _rand_q(k1, 5), _rand_q(k2, 5)
+        m = so3.quaternion_to_matrix(so3.quaternion_raw_multiply(qa, qb))
+        mm = so3.quaternion_to_matrix(qa) @ so3.quaternion_to_matrix(qb)
+        np.testing.assert_allclose(m, mm, atol=1e-5)
+
+    def test_apply_matches_matrix(self):
+        key = jax.random.PRNGKey(1)
+        q = _rand_q(key, 4)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+        np.testing.assert_allclose(
+            so3.quaternion_apply(q, x),
+            jnp.einsum("nij,nj->ni", so3.quaternion_to_matrix(q), x),
+            atol=1e-5,
+        )
+
+    def test_invert(self):
+        q = _rand_q(jax.random.PRNGKey(3), 4)
+        qq = so3.quaternion_raw_multiply(q, so3.quaternion_invert(q))
+        np.testing.assert_allclose(qq, jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (4, 1)), atol=1e-5)
+
+    def test_matrix_roundtrip(self):
+        q = _rand_q(jax.random.PRNGKey(4), 32)
+        q2 = so3.matrix_to_quaternion(so3.quaternion_to_matrix(q))
+        np.testing.assert_allclose(np.abs(np.sum(np.asarray(q) * np.asarray(q2), -1)), 1.0, atol=1e-5)
+
+    def test_axis_angle(self):
+        axis = np.array([[0.0, 0.0, 1.0]])
+        angle = np.array([[np.pi / 2]])
+        q = so3.axis_angle_to_quaternion(jnp.asarray(axis * angle))
+        R = so3.quaternion_to_matrix(q)[0]
+        np.testing.assert_allclose(R, cg.rot_z(np.pi / 2), atol=1e-6)
+
+    def test_se3_multiply_invert(self):
+        key = jax.random.PRNGKey(5)
+        q = _rand_q(key, 6)
+        t = jax.random.normal(jax.random.PRNGKey(6), (6, 3))
+        T = jnp.concatenate([q, t], -1)
+        TT = so3.multiply_se3(T, so3.se3_invert(T))
+        np.testing.assert_allclose(np.abs(TT[:, 0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(TT[:, 1:], 0.0, atol=1e-5)
+
+
+class TestWignerD:
+    @pytest.mark.parametrize("l", [1, 2, 3])
+    def test_matches_numpy_oracle(self, l):
+        q = np.asarray(_rand_q(jax.random.PRNGKey(7), 5), dtype=np.float64)
+        D_jax = np.asarray(wigner.wigner_D_from_quaternion(l, jnp.asarray(q, dtype=jnp.float32)))
+        for i in range(5):
+            R = cg.quat_to_matrix_np(q[i])
+            D_np = cg.real_wigner_D(l, R)
+            np.testing.assert_allclose(D_jax[i], D_np, atol=1e-4)
+
+    def test_rotate_irreps_composition(self):
+        irreps = Irreps("2x0e+3x1e+1x2e")
+        key = jax.random.PRNGKey(8)
+        f = jax.random.normal(key, (4, irreps.dim))
+        qa = _rand_q(jax.random.PRNGKey(9), 2)
+        qb = _rand_q(jax.random.PRNGKey(10), 2)
+        qab = so3.quaternion_raw_multiply(qa, qb)
+        # rotate by b then a == rotate by ab
+        fb = wigner.rotate_irreps(irreps, f, qb)  # (2, 4, dim)
+        fab = jnp.stack([wigner.rotate_irreps(irreps, fb[i], qa[i : i + 1])[0] for i in range(2)])
+        fab2 = wigner.rotate_irreps(irreps, f, qab)
+        np.testing.assert_allclose(fab, fab2, atol=1e-4)
+
+
+class TestSphericalHarmonics:
+    @pytest.mark.parametrize("l", [1, 2, 3])
+    def test_matches_oracle(self, l):
+        v = np.random.RandomState(0).randn(7, 3)
+        y = np.asarray(spherical_harmonics(l, jnp.asarray(v, dtype=jnp.float32)))
+        u = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        start = sum(2 * k + 1 for k in range(l))
+        np.testing.assert_allclose(y[:, start : start + 2 * l + 1], cg.sh_oracle(l, u), atol=1e-5)
+
+    def test_equivariance(self):
+        """Y(R u) == D(R) Y(u) with the on-device D."""
+        irreps = Irreps("1x0e+1x1e+1x2e")
+        q = _rand_q(jax.random.PRNGKey(11), 3)
+        v = jax.random.normal(jax.random.PRNGKey(12), (5, 3))
+        y = spherical_harmonics(irreps, v)
+        v_rot = so3.quaternion_apply(q[:, None, :], v[None, :, :])
+        y_rot = spherical_harmonics(irreps, v_rot)  # (3, 5, dim)
+        y_expected = wigner.rotate_irreps(irreps, y, q)  # (3, 5, dim)
+        np.testing.assert_allclose(y_rot, y_expected, atol=1e-5)
