@@ -1,0 +1,9 @@
+"""Static-shape point-cloud kernels (radius search, FPS, gathers)."""
+from .neighbors import (  # noqa: F401
+    count_within_radius,
+    dense_neighbors,
+    farthest_point_sampling,
+    pairwise_sqdist,
+    radius_graph,
+    radius_neighbors,
+)

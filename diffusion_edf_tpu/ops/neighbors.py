@@ -1,0 +1,168 @@
+"""Static-shape neighborhood kernels: padded radius search, FPS, dense
+bipartite connectivity.
+
+These replace the reference's native torch_cluster dependencies
+(``radius``/``radius_graph``/``fps``; survey rows N1-N2, used at
+``connectivity.py:8-77`` and ``graph_parser.py:339``).  The TPU-native design
+abandons ragged edge lists entirely: every neighborhood is a padded
+``(N_dst, K)`` int32 index array plus a boolean validity mask, so downstream
+attention is a masked softmax over the K axis — no scatter ops anywhere.
+
+For the point budgets of this workload (O(10^3) points after 1 cm voxel
+downsampling, ``configs/panda_mug/preprocess.yaml``) a dense masked distance
+matrix + ``lax.top_k`` is both simpler and faster on the MXU/VPU than grid
+bucketing; a Pallas tiled variant can slot in behind the same interface for
+much larger clouds.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pairwise_sqdist",
+    "radius_neighbors",
+    "radius_graph",
+    "dense_neighbors",
+    "farthest_point_sampling",
+    "count_within_radius",
+]
+
+_INF = jnp.inf
+
+
+def pairwise_sqdist(dst_x: jnp.ndarray, src_x: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances (Nd, Ns).  Expanded form keeps it on the MXU."""
+    d2 = (
+        jnp.sum(dst_x * dst_x, axis=-1, keepdims=True)
+        - 2.0 * dst_x @ src_x.T
+        + jnp.sum(src_x * src_x, axis=-1)[None, :]
+    )
+    return jnp.maximum(d2, 0.0)
+
+
+def radius_neighbors(
+    src_x: jnp.ndarray,
+    dst_x: jnp.ndarray,
+    r: float,
+    k: int,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_mask: Optional[jnp.ndarray] = None,
+    exclude_self: bool = False,
+    exclude_diagonal: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bipartite fixed-radius search -> (idx (Nd, k), valid (Nd, k)).
+
+    For each destination point, the k *nearest* sources within radius ``r``
+    (the reference caps at ``max_num_neighbors=1000`` with arbitrary order,
+    ``connectivity.py:42``; taking the nearest-k is the principled static
+    truncation).  Invalid slots point at source 0 with ``valid=False``.
+    ``exclude_self`` drops exact-coincidence pairs (distance == 0), matching
+    the self-edge removal in ``FpsPool`` (``connectivity.py:69-71``) and
+    ``radius_graph(loop=False)``.
+    """
+    ns = src_x.shape[0]
+    assert k <= ns, f"k={k} exceeds source count {ns}"
+    d2 = pairwise_sqdist(dst_x, src_x)
+    bad = jnp.zeros_like(d2, dtype=bool)
+    if src_mask is not None:
+        bad |= ~src_mask[None, :]
+    if exclude_self:
+        bad |= d2 <= 0.0
+    if exclude_diagonal:
+        assert dst_x.shape[0] == ns, "exclude_diagonal requires a square graph"
+        bad |= jnp.eye(ns, dtype=bool)
+    bad |= d2 > r * r
+    score = jnp.where(bad, _INF, d2)
+    neg_top, idx = jax.lax.top_k(-score, k)
+    valid = neg_top > -_INF
+    if dst_mask is not None:
+        valid &= dst_mask[:, None]
+    idx = jnp.where(valid, idx, 0).astype(jnp.int32)
+    return idx, valid
+
+
+def radius_graph(
+    x: jnp.ndarray, r: float, k: int, mask: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self radius graph without self-loops (``connectivity.py:8-28``)."""
+    return radius_neighbors(
+        x, x, r, k, src_mask=mask, dst_mask=mask, exclude_diagonal=True
+    )
+
+
+def dense_neighbors(
+    n_src: int,
+    n_dst: int,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pairs connectivity (the ``null``-radius global scale,
+    ``InfiniteBipartite`` at ``graph_parser.py:229-286``): idx (Nd, Ns)."""
+    idx = jnp.broadcast_to(jnp.arange(n_src, dtype=jnp.int32)[None, :], (n_dst, n_src))
+    valid = jnp.ones((n_dst, n_src), dtype=bool)
+    if src_mask is not None:
+        valid &= src_mask[None, :]
+    if dst_mask is not None:
+        valid &= dst_mask[:, None]
+    return idx, valid
+
+
+def farthest_point_sampling(
+    x: jnp.ndarray,
+    n_samples: int,
+    mask: Optional[jnp.ndarray] = None,
+    start_idx: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterative FPS -> (idx (n_samples,), valid (n_samples,)).
+
+    Replaces ``torch_cluster.fps`` (``connectivity.py:62``).  ``start_idx``
+    selects the seed point (pass a random valid index for the reference's
+    ``random_start=True``; default = first valid point for deterministic
+    mode, cf. ``connectivity.py:51``).  If fewer than ``n_samples`` valid
+    points exist, surplus slots repeat already-chosen points with
+    ``valid=False``.
+    """
+    n = x.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    if start_idx is None:
+        start_idx = jnp.argmax(mask).astype(jnp.int32)
+
+    big = jnp.asarray(_INF, dtype=x.dtype)
+    mindist0 = jnp.where(mask, big, -big)
+
+    def body(i, carry):
+        idx_arr, mindist = carry
+        cur = idx_arr[i - 1]
+        d2 = jnp.sum(jnp.square(x - x[cur]), axis=-1)
+        mindist = jnp.minimum(mindist, jnp.where(mask, d2, -big))
+        nxt = jnp.argmax(mindist).astype(jnp.int32)
+        idx_arr = idx_arr.at[i].set(nxt)
+        return idx_arr, mindist
+
+    idx_arr = jnp.zeros((n_samples,), dtype=jnp.int32).at[0].set(start_idx.astype(jnp.int32))
+    idx_arr, _ = jax.lax.fori_loop(1, n_samples, body, (idx_arr, mindist0))
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    valid = jnp.arange(n_samples) < jnp.minimum(n_valid, n_samples)
+    return idx_arr, valid
+
+
+def count_within_radius(
+    src_x: jnp.ndarray,
+    dst_x: jnp.ndarray,
+    r: float,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-destination neighbor counts (contact-point sampling,
+    ``train_utils.py:60-70``)."""
+    d2 = pairwise_sqdist(dst_x, src_x)
+    within = d2 <= r * r
+    if src_mask is not None:
+        within &= src_mask[None, :]
+    if dst_mask is not None:
+        within &= dst_mask[:, None]
+    return jnp.sum(within.astype(jnp.int32), axis=-1)

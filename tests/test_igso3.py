@@ -1,0 +1,90 @@
+"""IGSO(3) diffusion math: f32 device ops vs float64 numpy oracle.
+
+Validates the f64->f32 port risk called out in SURVEY.md §7.4.4.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_edf_tpu.geom import igso3, so3
+
+
+def test_density_matches_f64_oracle():
+    for eps in (0.0625, 0.3, 1.0):
+        omg = np.linspace(1e-3, np.pi - 1e-3, 200)
+        dev = np.asarray(igso3.igso3_angle_density(jnp.asarray(omg, jnp.float32), eps, lmax=100))
+        ora = igso3.igso3_angle_density_np(omg, eps, lmax=100)
+        scale = np.abs(ora).max()
+        assert np.abs(dev - ora).max() / scale < 2e-4, eps
+
+
+def test_score_matches_f64_oracle():
+    key = jax.random.PRNGKey(0)
+    for eps in (0.0625, 0.3, 1.0):
+        q = igso3.sample_igso3(key, eps, 256, dtype=jnp.float32)
+        dev = np.asarray(igso3.igso3_score(q, eps, lmax=100))
+        ora = igso3.igso3_score_np(np.asarray(q, np.float64), eps, lmax=100)
+        denom = np.maximum(np.linalg.norm(ora, axis=-1, keepdims=True), 1e-2)
+        rel = np.abs(dev - ora) / denom
+        assert np.percentile(rel, 99) < 5e-3, (eps, np.percentile(rel, 99))
+
+
+def test_sampling_angle_distribution():
+    """Sampled angles should follow density * haar (KS-style grid check)."""
+    eps = 0.25
+    key = jax.random.PRNGKey(1)
+    q = igso3.sample_igso3(key, eps, 20000, dtype=jnp.float32)
+    ang = 2.0 * np.arccos(np.clip(np.asarray(q)[:, 0], -1, 1))
+    # empirical CDF vs analytic CDF on a grid
+    X = np.linspace(1e-4, np.pi, 512)
+    pdf = igso3.igso3_angle_density_np(X, eps) * (1 - np.cos(X)) / np.pi
+    cdf = np.cumsum(pdf)
+    cdf /= cdf[-1]
+    emp = np.searchsorted(np.sort(ang), X) / len(ang)
+    assert np.abs(emp - cdf).max() < 0.02
+
+
+def test_score_is_gradient_of_log_density():
+    """Finite-difference check: score = d/dv log p(exp(v) q) at v=0 (body frame)."""
+    eps = 0.3
+    q = igso3.sample_igso3(jax.random.PRNGKey(2), eps, 8, dtype=jnp.float32)
+    q64 = np.asarray(q, np.float64)
+
+    def logp(qq):
+        versor = np.clip(qq[..., 0], -1, 1)
+        omg = np.arccos(versor) * 2
+        return np.log(igso3.igso3_angle_density_np(omg, eps) + 1e-300)
+
+    h = 1e-5
+    for i in range(8):
+        num = np.zeros(3)
+        for a in range(3):
+            v = np.zeros(3)
+            v[a] = h
+            dq = np.asarray(so3.axis_angle_to_quaternion(jnp.asarray(v)))
+            qp = np.asarray(so3.quaternion_raw_multiply(jnp.asarray(q64[i]), jnp.asarray(dq)))
+            v[a] = -h
+            dq = np.asarray(so3.axis_angle_to_quaternion(jnp.asarray(v)))
+            qm = np.asarray(so3.quaternion_raw_multiply(jnp.asarray(q64[i]), jnp.asarray(dq)))
+            num[a] = (logp(qp) - logp(qm)) / (2 * h)
+        ana = igso3.igso3_score_np(q64[i], eps)
+        np.testing.assert_allclose(num, ana, rtol=2e-2, atol=2e-2)
+
+
+def test_diffuse_isotropic_se3_shapes_and_consistency():
+    key = jax.random.PRNGKey(3)
+    T0 = jnp.concatenate(
+        [so3.random_quaternions(jax.random.PRNGKey(4), 2), jnp.zeros((2, 3))], axis=-1
+    )
+    x_ref = jax.random.normal(jax.random.PRNGKey(5), (5, 3))
+    T, dT, (ang, lin), (ang_r, lin_r) = igso3.diffuse_isotropic_se3(
+        key, T0, eps=0.2, std=1.0, x_ref=x_ref
+    )
+    assert T.shape == (5, 2, 7) and dT.shape == (5, 2, 7)
+    assert ang.shape == (5, 2, 3) and lin_r.shape == (5, 2, 3)
+    # quaternions stay unit
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(T)[..., :4], axis=-1), 1.0, atol=1e-4)
+    # adjoint transport identity: ang = ang_ref + x_ref x lin_ref, lin = lin_ref
+    np.testing.assert_allclose(np.asarray(lin), np.asarray(lin_r), atol=1e-6)
+    expect = np.asarray(ang_r) + np.cross(np.asarray(x_ref)[:, None, :], np.asarray(lin_r))
+    np.testing.assert_allclose(np.asarray(ang), expect, atol=1e-5)

@@ -1,0 +1,84 @@
+"""Neighbor-kernel tests against dense numpy oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_edf_tpu.ops import (
+    count_within_radius,
+    dense_neighbors,
+    farthest_point_sampling,
+    radius_graph,
+    radius_neighbors,
+)
+
+
+def test_radius_neighbors_oracle():
+    rng = np.random.RandomState(0)
+    src = rng.randn(40, 3).astype(np.float32)
+    dst = rng.randn(25, 3).astype(np.float32)
+    src_mask = np.ones(40, bool)
+    src_mask[35:] = False
+    r, k = 1.2, 8
+    idx, valid = jax.jit(lambda s, d: radius_neighbors(s, d, r, k, src_mask=jnp.asarray(src_mask)))(
+        jnp.asarray(src), jnp.asarray(dst)
+    )
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    d2 = ((dst[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    for i in range(25):
+        within = np.where((d2[i] <= r * r) & src_mask)[0]
+        expect = set(within[np.argsort(d2[i][within])][:k])
+        got = set(idx[i][valid[i]])
+        assert got == expect, (i, got, expect)
+        # neighbors sorted by distance
+        dd = d2[i][idx[i][valid[i]]]
+        assert np.all(np.diff(dd) >= -1e-6)
+
+
+def test_radius_graph_excludes_self():
+    x = jnp.asarray(np.random.RandomState(1).randn(30, 3).astype(np.float32))
+    idx, valid = radius_graph(x, r=10.0, k=29)
+    rows = np.arange(30)[:, None]
+    assert not np.any((np.asarray(idx) == rows) & np.asarray(valid))
+
+
+def test_dense_neighbors():
+    src_mask = jnp.asarray([True, True, False, True])
+    idx, valid = dense_neighbors(4, 2, src_mask=src_mask)
+    assert idx.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(valid), [[1, 1, 0, 1], [1, 1, 0, 1]])
+
+
+def _fps_oracle(x, n, start=0):
+    chosen = [start]
+    mindist = ((x - x[start]) ** 2).sum(-1)
+    for _ in range(n - 1):
+        nxt = int(np.argmax(mindist))
+        chosen.append(nxt)
+        mindist = np.minimum(mindist, ((x - x[nxt]) ** 2).sum(-1))
+    return chosen
+
+
+def test_fps_oracle():
+    x = np.random.RandomState(2).randn(50, 3).astype(np.float32)
+    idx, valid = jax.jit(lambda x: farthest_point_sampling(x, 10))(jnp.asarray(x))
+    assert np.asarray(valid).all()
+    assert list(np.asarray(idx)) == _fps_oracle(x, 10)
+
+
+def test_fps_masked_overflow():
+    x = np.random.RandomState(3).randn(20, 3).astype(np.float32)
+    mask = np.zeros(20, bool)
+    mask[:5] = True
+    idx, valid = farthest_point_sampling(jnp.asarray(x), 8, mask=jnp.asarray(mask))
+    assert np.asarray(valid).sum() == 5
+    assert set(np.asarray(idx)[np.asarray(valid)]).issubset(set(range(5)))
+
+
+def test_count_within_radius():
+    rng = np.random.RandomState(4)
+    src = rng.randn(30, 3).astype(np.float32)
+    dst = rng.randn(10, 3).astype(np.float32)
+    r = 1.0
+    counts = count_within_radius(jnp.asarray(src), jnp.asarray(dst), r)
+    d2 = ((dst[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(counts), (d2 <= r * r).sum(-1))
