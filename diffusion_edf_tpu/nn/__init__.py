@@ -1,0 +1,23 @@
+"""Equivariant NN library (flax): irreps linear/norm/gate, CG tensor
+products, radial bases, graph attention, Equiformer blocks."""
+from .attention import GraphAttention, attn_heads_irreps, heads2vec, vec2heads  # noqa: F401
+from .blocks import EquiformerBlock, FeedForwardNetwork, ProjectIfMismatch, resolve_mlp_mid  # noqa: F401
+from .layers import (  # noqa: F401
+    EquivariantDropout,
+    EquivariantLayerNorm,
+    Gate,
+    IrrepsLinear,
+    irreps2gate,
+    scalar_silu,
+)
+from .radial import (  # noqa: F401
+    BesselBasis,
+    GaussianRadialBasis,
+    GaussianRadialBasisFiniteCutoff,
+    RadialProfile,
+    SinusoidalPositionEmbeddings,
+    soft_square_cutoff,
+    soft_square_cutoff_2,
+)
+from .tp import apply_dtp, apply_fctp, dtp_instructions, fctp_instructions  # noqa: F401
+from .tp_modules import DepthwiseTP, FullyConnectedTP, FullyConnectedTPSwishGate, SeparableFCTP  # noqa: F401

@@ -1,0 +1,176 @@
+"""Equivariant graph attention over padded neighborhoods.
+
+Semantics of ``GraphAttentionMLP2`` (``/root/reference/diffusion_edf/
+graph_attention.py:138-273``) restructured for TPU: the edge axis is the
+dense K (neighbor-slot) axis, so the ``scatter_logsumexp`` softmax
+(``graph_attention.py:253-257``) becomes a masked softmax over K and the
+final scatter-sum (``:265``) a masked weighted sum — both VPU-friendly dense
+reductions with static shapes.
+
+Per edge slot: radial-MLP-weighted depthwise TP of the (src+dst) message with
+edge SH -> alpha logits via linear + SmoothLeakyReLU + GATv2 dot; value via
+gate + second depthwise TP; ``+ edge pre-attn logits`` (log soft cutoff) for
+radial continuity; optional post-attn point weights.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geom.irreps import Irrep, Irreps, multiply_irreps, sort_irreps_even_first
+from .layers import GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
+from .radial import RadialProfile
+from .tp import dtp_instructions
+from .tp_modules import DepthwiseTP, SeparableFCTP
+from .util import smooth_leaky_relu, smooth_leaky_relu_norm
+
+__all__ = ["GraphAttention", "vec2heads", "heads2vec", "attn_heads_irreps"]
+
+
+def attn_heads_irreps(irreps_head: Irreps, num_heads: int) -> Irreps:
+    """``sort_even_first(irreps_head * H).simplify()`` (``graph_attention.py:165-167``)."""
+    rep = Irreps([(mul * num_heads, ir) for mul, ir in Irreps(irreps_head)])
+    s, _, _ = sort_irreps_even_first(rep)
+    return s.simplify()
+
+
+def vec2heads(irreps_head: Irreps, num_heads: int, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., sum mul*H*d) -> (..., H, sum mul*d); head is the slow index within
+    each multiplicity block (``Vec2AttnHeads``,
+    ``graph_attention_transformer.py:139-168``)."""
+    irreps_head = Irreps(irreps_head)
+    batch = x.shape[:-1]
+    outs = []
+    i = 0
+    for mul, ir in irreps_head:
+        d = mul * num_heads * ir.dim
+        blk = x[..., i : i + d].reshape(*batch, num_heads, mul * ir.dim)
+        outs.append(blk)
+        i += d
+    return jnp.concatenate(outs, axis=-1)
+
+
+def heads2vec(irreps_head: Irreps, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, head_dim) -> (..., H*head_dim) with per-irrep interleave
+    (``AttnHeads2Vec``, ``graph_attention_transformer.py:177-205``)."""
+    irreps_head = Irreps(irreps_head)
+    batch = x.shape[:-2]
+    H = x.shape[-2]
+    outs = []
+    i = 0
+    for mul, ir in irreps_head:
+        d = mul * ir.dim
+        blk = x[..., :, i : i + d].reshape(*batch, H * d)
+        outs.append(blk)
+        i += d
+    return jnp.concatenate(outs, axis=-1)
+
+
+class GraphAttention(nn.Module):
+    irreps_input: Irreps
+    irreps_edge_attr: Irreps
+    irreps_output: Irreps
+    fc_neurons: Sequence[int]
+    num_heads: int
+    irreps_head: Optional[Irreps] = None  # default: irreps_mid / num_heads
+    irreps_mid: Optional[Irreps] = None  # default: irreps_input
+    alpha_drop: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        message: jnp.ndarray,  # (Nd, K, F_in) combined src+dst message
+        edge_attr: jnp.ndarray,  # (Nd, K, sh)
+        edge_scalars: jnp.ndarray,  # (Nd, K, S)
+        edge_mask: jnp.ndarray,  # (Nd, K) bool
+        edge_pre_attn_logit: Optional[jnp.ndarray] = None,  # (Nd, K)
+        edge_post_attn: Optional[jnp.ndarray] = None,  # (Nd, K)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        irreps_input = Irreps(self.irreps_input)
+        irreps_mid = Irreps(self.irreps_mid) if self.irreps_mid is not None else irreps_input
+        irreps_edge = Irreps(self.irreps_edge_attr)
+        irreps_out = Irreps(self.irreps_output)
+        H = self.num_heads
+        irreps_head = (
+            Irreps(self.irreps_head)
+            if self.irreps_head is not None
+            else multiply_irreps(irreps_mid, 1.0 / H, strict=True)
+        )
+        irreps_attn = attn_heads_irreps(irreps_head, H)
+        mul_alpha = irreps_attn.mul_0
+        mul_alpha_head = mul_alpha // H
+        assert mul_alpha_head * H == mul_alpha
+
+        # --- first DTP with radial weights (sep_act.dtp / dtp_rad) ---
+        dtp1 = DepthwiseTP(
+            irreps_in=irreps_input,
+            irreps_edge=irreps_edge,
+            irreps_out_target=irreps_mid,
+            internal_weights=False,
+            name="sep_act_dtp",
+        )
+        w = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad")(
+            edge_scalars
+        )
+        mid = dtp1(message, edge_attr, w)  # (Nd, K, F_dtp)
+
+        # --- alpha branch: linear -> heads -> smooth leaky relu -> GATv2 dot ---
+        log_alpha = IrrepsLinear(
+            dtp1.irreps_out, Irreps(f"{mul_alpha}x0e"), name="sep_alpha"
+        )(mid)
+        log_alpha = log_alpha.reshape(*log_alpha.shape[:-1], H, mul_alpha_head)
+        log_alpha = smooth_leaky_relu(log_alpha) * smooth_leaky_relu_norm()
+        alpha_dot = self.param(
+            "alpha_dot",
+            nn.initializers.xavier_uniform(),
+            (H, mul_alpha_head),
+            message.dtype,
+        )
+        log_alpha = jnp.einsum("...hk,hk->...h", log_alpha, alpha_dot)  # (Nd, K, H)
+
+        # --- value branch: gate(linear(mid)) -> second DTP (internal weights) ---
+        s, g, t = irreps2gate(irreps_mid)
+        if g.dim == 0:
+            val = IrrepsLinear(dtp1.irreps_out, irreps_mid, name="sep_act_lin")(mid)
+            val = scalar_silu(val)
+        else:
+            gate_in = (s + g + t).simplify()
+            val = IrrepsLinear(dtp1.irreps_out, gate_in, name="sep_act_lin")(mid)
+            val = GateFromIrreps(irreps_out=irreps_mid)(val)
+        val = SeparableFCTP(
+            irreps_in=irreps_mid,
+            irreps_edge=irreps_edge,
+            irreps_out=irreps_attn,
+            fc_neurons=None,
+            use_activation=False,
+            internal_weights=True,
+            name="sep_value",
+        )(val, edge_attr)
+        val = vec2heads(irreps_head, H, val)  # (Nd, K, H, head_dim)
+
+        # --- masked softmax over the K axis ---
+        if edge_pre_attn_logit is not None:
+            log_alpha = log_alpha + edge_pre_attn_logit[..., None]
+        neg_big = jnp.asarray(-1e30, dtype=log_alpha.dtype)
+        log_alpha = jnp.where(edge_mask[..., None], log_alpha, neg_big)
+        m = jnp.max(log_alpha, axis=-2, keepdims=True)  # (Nd, 1, H)
+        m = jnp.maximum(jax.lax.stop_gradient(m), -0.5e30)
+        ea = jnp.where(edge_mask[..., None], jnp.exp(log_alpha - m), 0.0)
+        denom = jnp.sum(ea, axis=-2, keepdims=True)
+        alpha = ea / jnp.maximum(denom, 1e-30)  # (Nd, K, H)
+        if edge_post_attn is not None:
+            alpha = alpha * edge_post_attn[..., None]
+        if self.alpha_drop > 0.0 and not deterministic:
+            key = self.make_rng("dropout")
+            keep = jax.random.bernoulli(key, 1.0 - self.alpha_drop, alpha.shape)
+            alpha = alpha * keep / (1.0 - self.alpha_drop)
+
+        # --- weighted sum over K, heads->vec, output projection ---
+        attn = jnp.einsum("...kh,...khf->...hf", alpha, val)  # (Nd, H, head_dim)
+        attn = heads2vec(irreps_head, attn)  # (Nd, attn_dim)
+        out = IrrepsLinear(irreps_attn, irreps_out, name="proj")(attn)
+        return out

@@ -1,0 +1,154 @@
+"""Equiformer transformer blocks over padded neighborhoods.
+
+Reference counterparts:
+* ``FeedForwardNetwork`` <- ``gnn_block.py:21-57`` (two FCTPs with a constant
+  1x0e second input; here the constant-ones TP is algebraically collapsed —
+  FCTP with ``1x0e`` as in2 *is* an irreps-linear, so we use
+  ``FullyConnectedTPSwishGate``-equivalent linear+gate directly).
+* ``EquiformerBlock``    <- ``gnn_block.py:65-218`` (new-style, GraphEdges) and
+  ``block.py:64-174`` (legacy extractor variant; the legacy block is the same
+  dataflow with identity skip projections, so one module with options covers
+  both — note the legacy block's prenorm result is discarded in the reference
+  (``block.py:149-153``), a bug we do not reproduce).
+* ``ProjectIfMismatch``  <- ``skip.py:13-35``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geom.irreps import Irreps, sort_irreps_even_first
+from ..models.data import FeaturedPoints, GraphEdges
+from .attention import GraphAttention
+from .layers import EquivariantLayerNorm, GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
+
+__all__ = ["FeedForwardNetwork", "EquiformerBlock", "ProjectIfMismatch", "resolve_mlp_mid"]
+
+
+def resolve_mlp_mid(irreps_emb: Irreps, irreps_mlp_mid) -> Irreps:
+    """int multiplier -> ``sort_even_first(emb * k).simplify()`` (``gnn_block.py:103-106``)."""
+    if isinstance(irreps_mlp_mid, int):
+        rep = Irreps(tuple(Irreps(irreps_emb)) * irreps_mlp_mid)
+        s, _, _ = sort_irreps_even_first(rep)
+        return s.simplify()
+    return Irreps(irreps_mlp_mid)
+
+
+class ProjectIfMismatch(nn.Module):
+    irreps_in: Irreps
+    irreps_out: Irreps
+    use_bias: bool = True
+    layernorm: bool = True
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        if Irreps(self.irreps_in) == Irreps(self.irreps_out):
+            return f
+        if self.layernorm:
+            f = EquivariantLayerNorm(irreps=Irreps(self.irreps_in), name="ln")(f)
+        return IrrepsLinear(Irreps(self.irreps_in), Irreps(self.irreps_out), use_bias=self.use_bias, name="lin")(f)
+
+
+class FeedForwardNetwork(nn.Module):
+    irreps_in: Irreps
+    irreps_out: Irreps
+    irreps_mlp_mid: Optional[Irreps] = None
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        irreps_in = Irreps(self.irreps_in)
+        mid = Irreps(self.irreps_mlp_mid) if self.irreps_mlp_mid is not None else irreps_in
+        s, g, t = irreps2gate(mid)
+        if g.dim == 0:
+            h = IrrepsLinear(irreps_in, mid, name="fctp1")(f)
+            h = scalar_silu(h)
+        else:
+            gate_in = (s + g + t).simplify()
+            h = IrrepsLinear(irreps_in, gate_in, name="fctp1")(f)
+            h = GateFromIrreps(irreps_out=mid)(h)
+        return IrrepsLinear(mid, Irreps(self.irreps_out), name="fctp2")(h)
+
+
+class EquiformerBlock(nn.Module):
+    """Pre-norm bipartite graph-attention block.
+
+    Message: ``linear_src(norm(src_f))[idx] + linear_dst(norm(dst_f))[:,None]``
+    -> GraphAttention -> +skip(dst) -> post-norm -> FFN -> +skip(emb)
+    (``gnn_block.py:164-218``).
+    """
+
+    irreps_src: Irreps
+    irreps_dst: Irreps
+    irreps_edge_attr: Irreps
+    num_heads: int
+    fc_neurons: Sequence[int]
+    irreps_emb: Optional[Irreps] = None  # default irreps_dst
+    irreps_output: Optional[Irreps] = None  # default irreps_dst
+    irreps_head: Optional[Irreps] = None
+    irreps_mlp_mid: int = 3  # or Irreps
+    alpha_drop: float = 0.1
+    use_dst_feature: bool = True
+    skip_connection: bool = True
+    use_src_point_attn: bool = False
+    use_edge_logits: bool = True  # edge_attn cutoff method
+
+    @nn.compact
+    def __call__(
+        self,
+        src: FeaturedPoints,
+        dst: FeaturedPoints,
+        edges: GraphEdges,
+        deterministic: bool = True,
+    ) -> FeaturedPoints:
+        irreps_src = Irreps(self.irreps_src)
+        irreps_dst = Irreps(self.irreps_dst)
+        irreps_emb = Irreps(self.irreps_emb) if self.irreps_emb is not None else irreps_dst
+        irreps_out = Irreps(self.irreps_output) if self.irreps_output is not None else irreps_dst
+        mlp_mid = resolve_mlp_mid(irreps_emb, self.irreps_mlp_mid)
+
+        msg_src = EquivariantLayerNorm(irreps=irreps_src, name="prenorm_src")(src.f)
+        msg_src = IrrepsLinear(irreps_src, irreps_emb, use_bias=not self.use_dst_feature, name="linear_src")(msg_src)
+        message = msg_src[edges.idx]  # (Nd, K, F_emb)
+        if self.use_dst_feature:
+            msg_dst = EquivariantLayerNorm(irreps=irreps_dst, name="prenorm_dst")(dst.f)
+            msg_dst = IrrepsLinear(irreps_dst, irreps_emb, use_bias=True, name="linear_dst")(msg_dst)
+            message = message + msg_dst[:, None, :]
+
+        pre_logit = edges.logits if self.use_edge_logits else None
+        post_attn = None
+        if self.use_src_point_attn:
+            assert src.w is not None
+            post_attn = src.w[edges.idx]  # (Nd, K)
+
+        emb = GraphAttention(
+            irreps_input=irreps_emb,
+            irreps_edge_attr=Irreps(self.irreps_edge_attr),
+            irreps_output=irreps_emb,
+            fc_neurons=tuple(self.fc_neurons),
+            num_heads=self.num_heads,
+            irreps_head=self.irreps_head,
+            alpha_drop=self.alpha_drop,
+            name="ga",
+        )(
+            message,
+            edges.attr,
+            edges.scalars,
+            edges.mask,
+            edge_pre_attn_logit=pre_logit,
+            edge_post_attn=post_attn,
+            deterministic=deterministic,
+        )
+
+        if self.skip_connection and self.use_dst_feature:
+            emb = emb + ProjectIfMismatch(irreps_dst, irreps_emb, layernorm=False, name="skip_1")(dst.f)
+
+        out = EquivariantLayerNorm(irreps=irreps_emb, name="post_norm")(emb)
+        out = FeedForwardNetwork(irreps_in=irreps_emb, irreps_out=irreps_out, irreps_mlp_mid=mlp_mid, name="ffn")(out)
+        if self.skip_connection:
+            out = out + ProjectIfMismatch(irreps_emb, irreps_out, layernorm=False, name="skip_2")(emb)
+
+        # zero features of padded dst points to keep downstream masked math clean
+        out = jnp.where(dst.mask[:, None], out, 0.0)
+        return FeaturedPoints(x=dst.x, f=out, mask=dst.mask, w=dst.w)

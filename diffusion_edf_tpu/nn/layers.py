@@ -1,0 +1,203 @@
+"""Core equivariant flax layers: irreps linear, layer norm, gate, dropout.
+
+Reference counterparts:
+* ``IrrepsLinear``         <- ``LinearRS`` (``tensor_product_rescale.py:176-185``)
+* ``EquivariantLayerNorm`` <- ``EquivariantLayerNormV2`` (``equiformer/layer_norm.py:64-156``)
+* ``Gate`` / ``scalar_activation`` <- ``equiformer/fast_activation.py``
+* ``EquivariantDropout``   <- ``equiformer/drop.py:76``
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.irreps import Irrep, Irreps
+from .util import sigmoid_norm, silu_norm
+
+__all__ = [
+    "IrrepsLinear",
+    "EquivariantLayerNorm",
+    "Gate",
+    "irreps2gate",
+    "EquivariantDropout",
+    "scalar_silu",
+]
+
+
+def scalar_silu(x: jnp.ndarray) -> jnp.ndarray:
+    """Second-moment-normalized SiLU (e3nn ``normalize2mom(SiLU)``)."""
+    return jax.nn.silu(x) * silu_norm()
+
+
+def norm_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid(x) * sigmoid_norm()
+
+
+class IrrepsLinear(nn.Module):
+    """Per-degree linear map on irreps features with fan-in rescale + scalar
+    bias (``LinearRS``).  Output entries with no matching input degree are
+    zeros (+bias for even scalars)."""
+
+    irreps_in: Irreps
+    irreps_out: Irreps
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        irreps_in, irreps_out = Irreps(self.irreps_in), Irreps(self.irreps_out)
+        assert f.shape[-1] == irreps_in.dim, (f.shape, irreps_in)
+        batch = f.shape[:-1]
+        # gather input blocks per (l, p)
+        in_blocks = {}
+        i = 0
+        for mul, ir in irreps_in:
+            blk = f[..., i : i + mul * ir.dim].reshape(*batch, mul, ir.dim)
+            i += mul * ir.dim
+            in_blocks.setdefault(ir, []).append(blk)
+        outs = []
+        for oi, (mul_out, ir) in enumerate(irreps_out):
+            if ir in in_blocks:
+                x = jnp.concatenate(in_blocks[ir], axis=-2)  # (..., mul_in, d)
+                mul_in = x.shape[-2]
+                w = self.param(
+                    f"w{oi}_{ir}",
+                    nn.initializers.uniform(scale=2.0),  # U(0,2) -> shift to U(-1,1)
+                    (mul_in, mul_out),
+                    f.dtype,
+                )
+                w = w - 1.0
+                y = jnp.einsum("...ud,uw->...wd", x, w) / np.sqrt(mul_in)
+            else:
+                y = jnp.zeros(batch + (mul_out, ir.dim), dtype=f.dtype)
+            if self.use_bias and ir == Irrep(0, 1):
+                b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), f.dtype)
+                y = y + b[..., :, None]
+            outs.append(y.reshape(*batch, mul_out * ir.dim))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class EquivariantLayerNorm(nn.Module):
+    """RMS-style norm per irrep group; scalars are mean-centered; affine
+    weight per irrep instance, bias on even scalars
+    (``EquivariantLayerNormV2``, ``layer_norm.py:64-156``)."""
+
+    irreps: Irreps
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        irreps = Irreps(self.irreps)
+        batch = f.shape[:-1]
+        outs = []
+        i = 0
+        iw = 0
+        ib = 0
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (irreps.num_irreps,), f.dtype)
+            num_scalar = sum(mul for mul, ir in irreps if ir == Irrep(0, 1))
+            bias = self.param("bias", nn.initializers.zeros, (max(num_scalar, 1),), f.dtype)
+        for mul, ir in irreps:
+            d = ir.dim
+            field = f[..., i : i + mul * d].reshape(*batch, mul, d)
+            i += mul * d
+            if ir == Irrep(0, 1):
+                field = field - jnp.mean(field, axis=-2, keepdims=True)
+            norm2 = jnp.mean(jnp.square(field), axis=-1)  # component normalization
+            norm2 = jnp.mean(norm2, axis=-1, keepdims=True)  # (..., 1)
+            inv = jax.lax.rsqrt(norm2 + self.eps)[..., None]  # (..., 1, 1)
+            if self.affine:
+                w = weight[iw : iw + mul]
+                iw += mul
+                inv = inv * w[:, None]
+            field = field * inv
+            if self.affine and ir == Irrep(0, 1):
+                b = bias[ib : ib + mul]
+                ib += mul
+                field = field + b[:, None]
+            outs.append(field.reshape(*batch, mul * d))
+        return jnp.concatenate(outs, axis=-1)
+
+
+def irreps2gate(irreps: Irreps) -> Tuple[Irreps, Irreps, Irreps]:
+    """Split into (scalars, gates, gated) (``tensor_product_rescale.py:188-238``)."""
+    irreps = Irreps(irreps)
+    scalars = [(mul, ir) for mul, ir in irreps if ir == Irrep(0, 1)]
+    gated = [(mul, ir) for mul, ir in irreps if ir != Irrep(0, 1)]
+    scalars_i = Irreps(scalars).simplify()
+    gated_i = Irreps(gated).simplify()
+    gates_i = Irreps([(mul, Irrep(0, 1)) for mul, _ in gated_i]).simplify()
+    return scalars_i, gates_i, gated_i
+
+
+class Gate(nn.Module):
+    """Gated nonlinearity: input layout ``scalars + gates + gated``; SiLU on
+    scalars, sigmoid(gates) multiplying each gated irrep instance
+    (``fast_activation.py:156-224``).  Output: ``scalars + gated``."""
+
+    irreps_scalars: Irreps
+    irreps_gates: Irreps
+    irreps_gated: Irreps
+
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        s = Irreps(self.irreps_scalars)
+        g = Irreps(self.irreps_gates)
+        t = Irreps(self.irreps_gated)
+        sd, gd, td = s.dim, g.dim, t.dim
+        assert f.shape[-1] == sd + gd + td
+        scalars = f[..., :sd]
+        gates = f[..., sd : sd + gd]
+        gated = f[..., sd + gd :]
+        scalars = scalar_silu(scalars)
+        if gd == 0:
+            return scalars
+        gates = norm_sigmoid(gates)
+        # expand gates across components of each gated irrep instance
+        reps = []
+        for mul, ir in t:
+            reps.extend([ir.dim] * mul)
+        gates_exp = jnp.repeat(gates, jnp.asarray(reps), axis=-1, total_repeat_length=td)
+        return jnp.concatenate([scalars, gated * gates_exp], axis=-1)
+
+
+class GateFromIrreps(nn.Module):
+    """Convenience: build a Gate for target output ``irreps``; exposes
+    ``gate_input_irreps`` = scalars+gates+gated for the producing linear."""
+
+    irreps_out: Irreps
+
+    @staticmethod
+    def input_irreps(irreps_out: Irreps) -> Irreps:
+        s, g, t = irreps2gate(irreps_out)
+        return (s + g + t).simplify()
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        s, g, t = irreps2gate(Irreps(self.irreps_out))
+        return Gate(irreps_scalars=s, irreps_gates=g, irreps_gated=t)(f)
+
+
+class EquivariantDropout(nn.Module):
+    """Drop whole irrep instances (``equiformer/drop.py:76-130``)."""
+
+    irreps: Irreps
+    rate: float
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return f
+        irreps = Irreps(self.irreps)
+        key = self.make_rng("dropout")
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, f.shape[:-1] + (irreps.num_irreps,))
+        reps = []
+        for mul, ir in irreps:
+            reps.extend([ir.dim] * mul)
+        mask = jnp.repeat(
+            keep.astype(f.dtype), jnp.asarray(reps), axis=-1, total_repeat_length=irreps.dim
+        )
+        return f * mask / (1.0 - self.rate)

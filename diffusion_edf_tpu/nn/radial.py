@@ -1,0 +1,215 @@
+"""Radial bases, soft cutoffs and positional encoders.
+
+Reference counterparts in ``/root/reference/diffusion_edf/radial_func.py``
+(soft cutoffs ``:15-70``, Gaussian bases ``:168-278``, sinusoidal ``:291-316``,
+Bessel ``:72-126``) and the radial weight MLP ``RadialProfile`` in
+``equiformer/radial_func.py:11-60``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "soft_step",
+    "soft_square_cutoff",
+    "soft_square_cutoff_2",
+    "RadialProfile",
+    "GaussianRadialBasis",
+    "GaussianRadialBasisFiniteCutoff",
+    "BesselBasis",
+    "SinusoidalPositionEmbeddings",
+]
+
+CutoffRanges = Tuple[Optional[float], Optional[float], Optional[float], Optional[float]]
+
+
+def soft_step(x: jnp.ndarray, n: int = 3) -> jnp.ndarray:
+    """C^(n-1) monotone step on [0,1] (``radial_func.py:15-17``)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    core = (n + 1) * xc**n - n * xc ** (n + 1)
+    return jnp.where(x > 0, jnp.where(x < 1, core, 1.0), 0.0)
+
+
+def soft_cutoff(x: jnp.ndarray, thr: float = 0.8, n: int = 3) -> jnp.ndarray:
+    return 1.0 - soft_step((x - thr) / (1.0 - thr), n=n)
+
+
+def soft_square_cutoff(x: jnp.ndarray, thr: float = 0.8, n: int = 3, infinite: bool = False) -> jnp.ndarray:
+    """(``radial_func.py:25-29``)"""
+    if infinite:
+        return soft_cutoff(x, thr=thr, n=n) * (x > 0.5) + soft_cutoff(1 - x, thr=thr, n=n) * (x <= 0.5)
+    return (x > 0.5).astype(x.dtype) + soft_cutoff(1 - x, thr=thr, n=n) * (x <= 0.5)
+
+
+def soft_square_cutoff_2(x: jnp.ndarray, ranges: Optional[CutoffRanges], n: int = 3) -> jnp.ndarray:
+    """Two-sided soft window over ``(left_end, left_begin, right_begin,
+    right_end)`` (``radial_func.py:31-70``)."""
+    if ranges is None:
+        return x
+    left_end, left_begin, right_begin, right_end = ranges
+    div_l = (left_begin - left_end) if (left_end is not None and left_begin is not None) else 1.0
+    div_r = (right_end - right_begin) if (right_end is not None and right_begin is not None) else 1.0
+    if right_begin is not None and left_end is None:
+        return 1.0 - soft_step((x - right_begin) / div_r, n=n)
+    if left_end is not None and right_begin is None:
+        return soft_step((x - left_end) / div_l, n=n)
+    if right_begin is not None and left_end is not None:
+        mid = 0.5 * (left_begin + right_begin)
+        return (1.0 - soft_step((x - right_begin) / div_r, n=n)) * (x > mid) + soft_step(
+            (x - left_end) / div_l, n=n
+        ) * (x <= mid)
+    return jnp.ones_like(x)
+
+
+class RadialProfile(nn.Module):
+    """Linear -> [LayerNorm -> SiLU] ... -> Linear(+offset) weight MLP
+    (``equiformer/radial_func.py:11-60``).  The final ``1/sqrt(fan_in)``
+    output rescale the reference bakes into the last layer's init is applied
+    by the consuming TP instead (see ``nn/tp.py`` docstring)."""
+
+    ch_list: Sequence[int]  # [in, h1, ..., out]
+    use_layer_norm: bool = True
+    use_offset: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        chs = list(self.ch_list)
+        h = x
+        for i in range(1, len(chs)):
+            last = i == len(chs) - 1
+            h = nn.Dense(chs[i], use_bias=not (last and self.use_offset), name=f"dense{i}")(h)
+            if last:
+                break
+            if self.use_layer_norm:
+                h = nn.LayerNorm(name=f"ln{i}")(h)
+            h = jax.nn.silu(h)
+        if self.use_offset:
+            fan_in = chs[-2]
+            bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+            offset = self.param(
+                "offset", nn.initializers.uniform(scale=2 * bound), (chs[-1],), x.dtype
+            )
+            h = h + (offset - bound)
+        return h
+
+
+class GaussianRadialBasis(nn.Module):
+    """Learnable Gaussian RBF over [0, max_val] (``radial_func.py:208-227``)."""
+
+    dim: int
+    max_val: float
+    min_val: float = 0.0
+    max_weight: float = 4.0
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray) -> jnp.ndarray:
+        d = (dist[..., None] - self.min_val) / (self.max_val - self.min_val)
+        mean = self.param(
+            "mean",
+            lambda key, shape, dtype: jnp.linspace(0.0, 1.0, self.dim + 2, dtype=dtype)[1:-1].reshape(shape),
+            (self.dim,),
+            dist.dtype,
+        )
+        init_std = 2.0 / self.dim
+        std_logit = self.param(
+            "std_logit",
+            nn.initializers.constant(math.log(math.exp(init_std) - 1.0)),
+            (self.dim,),
+            dist.dtype,
+        )
+        weight_logit = self.param(
+            "weight_logit",
+            nn.initializers.constant(-math.log(self.max_weight - 1.0)),
+            (self.dim,),
+            dist.dtype,
+        )
+        std = jax.nn.softplus(std_logit) + 1e-5
+        weight = jax.nn.sigmoid(weight_logit) * self.max_weight * math.sqrt(self.dim)
+        g = jnp.exp(-0.5 * jnp.square((d - mean) / std))
+        return g * weight
+
+
+class GaussianRadialBasisFiniteCutoff(nn.Module):
+    """Gaussian RBF with soft cutoff near the radius and a small-distance
+    offset guarding SH gradients (``GaussianRadialBasisLayerFiniteCutoff``,
+    ``radial_func.py:231-278``)."""
+
+    num_basis: int
+    cutoff: float
+    offset: Optional[float] = None  # default 0.01*cutoff
+    soft_cutoff: bool = True
+    cutoff_thr_ratio: float = 0.8
+    infinite: bool = False
+    max_weight: float = 4.0
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray) -> jnp.ndarray:
+        offset = 0.01 * self.cutoff if self.offset is None else self.offset
+        d = ((dist - offset) / (self.cutoff - offset))[..., None]
+        mean = self.param(
+            "mean",
+            lambda key, shape, dtype: jnp.linspace(0.0, 1.0, self.num_basis + 2, dtype=dtype)[1:-1].reshape(shape),
+            (self.num_basis,),
+            dist.dtype,
+        )
+        init_std = 2.0 / self.num_basis
+        std_logit = self.param(
+            "std_logit",
+            nn.initializers.constant(math.log(math.exp(init_std) - 1.0)),
+            (self.num_basis,),
+            dist.dtype,
+        )
+        weight_logit = self.param(
+            "weight_logit",
+            nn.initializers.constant(-math.log(self.max_weight - 1.0)),
+            (self.num_basis,),
+            dist.dtype,
+        )
+        std = jax.nn.softplus(std_logit) + 1e-5
+        weight = jax.nn.sigmoid(weight_logit) * self.max_weight
+        x = jnp.exp(-0.5 * jnp.square((d - mean) / std)) * weight
+        if self.soft_cutoff:
+            x = x * soft_square_cutoff(d, thr=self.cutoff_thr_ratio, infinite=self.infinite)
+        return x * math.sqrt(self.num_basis)
+
+
+class BesselBasis(nn.Module):
+    """Spherical Bessel basis (``BesselBasisEncoder``, ``radial_func.py:72-126``)."""
+
+    dim: int
+    max_val: float
+    min_val: float = 0.0
+    max_cutoff: bool = False
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.min_val == 0.0
+        c = self.max_val - self.min_val
+        roots = jnp.arange(1, self.dim + 1, dtype=x.dtype) * jnp.pi
+        xd = jnp.maximum((x[..., None] - self.min_val) / c, self.eps)
+        out = jnp.sin(roots * xd) / xd
+        if self.max_cutoff:
+            out = out * (xd < 1.0)
+        return out
+
+
+class SinusoidalPositionEmbeddings(nn.Module):
+    """(``radial_func.py:291-316``)"""
+
+    dim: int
+    max_val: float
+    n: float = 10000.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim % 2 == 0
+        half = self.dim // 2
+        xs = x / self.max_val * self.n
+        freqs = jnp.exp(jnp.arange(half, dtype=x.dtype) * (-math.log(self.n) / (half - 1)))
+        emb = xs[..., None] * freqs
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)

@@ -1,0 +1,175 @@
+"""Clebsch-Gordan tensor products as trace-time-compiled einsum programs.
+
+Replaces ``e3nn.o3.TensorProduct`` + the rescale wrappers
+(``/root/reference/diffusion_edf/equiformer/tensor_product_rescale.py``):
+
+* ``dtp_instructions``  — depthwise 'uvu' product against edge attributes
+  (``DepthwiseTensorProduct``, ``tensor_product_rescale.py:352-382``).
+* ``fctp_instructions`` — fully-connected 'uvw' product
+  (``FullyConnectedTensorProductRescale``, ``:155-173``).
+
+Normalization: w3j tensors have unit Frobenius norm and are scaled by
+``sqrt(2*l3+1)`` (e3nn ``normalization='component'``); the Linear-style
+``1/sqrt(fan_in)`` rescale (``init_rescale_bias``, ``:94-127``) is applied in
+the *forward pass* as a per-output-slice constant rather than baked into the
+weight init — mathematically the same family, but it keeps externally-supplied
+radial-MLP weights O(1) (the reference instead scales the radial MLP's last
+layer at init, ``graph_attention_transformer.py:91-93``).  A torch-checkpoint
+importer must divide imported weights by these constants.
+
+Everything here is resolved at trace time into a fixed list of einsum
+contractions over the padded edge/point axes; XLA fuses the small w3j
+contractions into the surrounding matmuls.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.cg import w3j
+from ..geom.irreps import Irrep, Irreps, sort_irreps_even_first
+
+__all__ = ["Instruction", "TPProgram", "dtp_instructions", "fctp_instructions", "apply_dtp", "apply_fctp"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Instruction:
+    i_in1: int
+    i_in2: int
+    i_out: int
+    mode: str  # 'uvu' | 'uvw'
+    # weight block location in the flat weight vector
+    w_start: int
+    w_shape: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class TPProgram:
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+    instructions: Tuple[Instruction, ...]
+    weight_numel: int
+    # per-output-slice rescale constant 1/sqrt(fan_in) (index = output entry)
+    alpha: Tuple[float, ...]
+
+    def w3j_for(self, ins: Instruction) -> np.ndarray:
+        l1 = self.irreps_in1[ins.i_in1][1].l
+        l2 = self.irreps_in2[ins.i_in2][1].l
+        l3 = self.irreps_out[ins.i_out][1].l
+        return np.asarray(w3j(l1, l2, l3)) * np.sqrt(2 * l3 + 1)
+
+
+@functools.lru_cache(maxsize=None)
+def dtp_instructions(
+    irreps_in1: Irreps, irreps_in2: Irreps, irreps_out_target: Irreps
+) -> TPProgram:
+    """Depthwise ('uvu') TP: output irreps are *derived* — every product
+    irrep that appears in the target (or is the even scalar) is kept, sorted
+    even-first.  Mirrors ``DepthwiseTensorProduct``
+    (``tensor_product_rescale.py:352-382``)."""
+    irreps_in1, irreps_in2 = Irreps(irreps_in1), Irreps(irreps_in2)
+    target = Irreps(irreps_out_target)
+    out_entries: List[Tuple[int, Irrep]] = []
+    raw_ins: List[Tuple[int, int, int]] = []
+    for i, (mul, ir1) in enumerate(irreps_in1):
+        for j, (_, ir2) in enumerate(irreps_in2):
+            for ir_out in ir1 * ir2:
+                if any(ir_out == ir for _, ir in target) or ir_out == Irrep(0, 1):
+                    k = len(out_entries)
+                    out_entries.append((mul, ir_out))
+                    raw_ins.append((i, j, k))
+    irreps_out, perm, _ = sort_irreps_even_first(Irreps(out_entries))
+    instructions = []
+    w_off = 0
+    fan_in = [0.0] * len(irreps_out)
+    for (i, j, k) in raw_ins:
+        k_new = perm[k]
+        mul1 = irreps_in1[i][0]
+        mul2 = irreps_in2[j][0]
+        instructions.append(Instruction(i, j, k_new, "uvu", w_off, (mul1, mul2)))
+        w_off += mul1 * mul2
+        fan_in[k_new] += mul2
+    alpha = tuple(1.0 / np.sqrt(f) if f > 0 else 1.0 for f in fan_in)
+    return TPProgram(irreps_in1, irreps_in2, irreps_out, tuple(instructions), w_off, alpha)
+
+
+@functools.lru_cache(maxsize=None)
+def fctp_instructions(irreps_in1: Irreps, irreps_in2: Irreps, irreps_out: Irreps) -> TPProgram:
+    """Fully-connected ('uvw') TP (``tensor_product_rescale.py:162-168``)."""
+    irreps_in1, irreps_in2, irreps_out = Irreps(irreps_in1), Irreps(irreps_in2), Irreps(irreps_out)
+    instructions = []
+    w_off = 0
+    fan_in = [0.0] * len(irreps_out)
+    for i, (mul1, ir1) in enumerate(irreps_in1):
+        for j, (mul2, ir2) in enumerate(irreps_in2):
+            for k, (mul3, ir3) in enumerate(irreps_out):
+                if ir3 in ir1 * ir2:
+                    instructions.append(Instruction(i, j, k, "uvw", w_off, (mul1, mul2, mul3)))
+                    w_off += mul1 * mul2 * mul3
+                    fan_in[k] += mul1 * mul2
+    alpha = tuple(1.0 / np.sqrt(f) if f > 0 else 1.0 for f in fan_in)
+    return TPProgram(irreps_in1, irreps_in2, irreps_out, tuple(instructions), w_off, alpha)
+
+
+def _blocks(irreps: Irreps, f: jnp.ndarray) -> List[jnp.ndarray]:
+    out = []
+    i = 0
+    for mul, ir in irreps:
+        out.append(f[..., i : i + mul * ir.dim].reshape(*f.shape[:-1], mul, ir.dim))
+        i += mul * ir.dim
+    return out
+
+
+def _assemble(irreps: Irreps, blocks: List[Optional[jnp.ndarray]], batch_shape, dtype) -> jnp.ndarray:
+    outs = []
+    for (mul, ir), blk in zip(irreps, blocks):
+        if blk is None:
+            outs.append(jnp.zeros(batch_shape + (mul * ir.dim,), dtype=dtype))
+        else:
+            outs.append(blk.reshape(*batch_shape, mul * ir.dim))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def apply_dtp(
+    prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """uvu TP with (per-edge or shared) external weights.
+
+    x1: (..., dim1) node features; x2: (..., dim2) edge attr; weight:
+    (..., weight_numel) or (weight_numel,) shared.
+    """
+    b1 = _blocks(prog.irreps_in1, x1)
+    b2 = _blocks(prog.irreps_in2, x2)
+    batch = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1], weight.shape[:-1] if weight.ndim > 1 else ())
+    acc: List[Optional[jnp.ndarray]] = [None] * len(prog.irreps_out)
+    for ins in prog.instructions:
+        C = jnp.asarray(prog.w3j_for(ins), dtype=x1.dtype)
+        mul1, mul2 = ins.w_shape
+        w = weight[..., ins.w_start : ins.w_start + mul1 * mul2]
+        w = w.reshape(*w.shape[:-1], mul1, mul2)
+        alpha = prog.alpha[ins.i_out]
+        term = jnp.einsum("...ui,...vj,ijk,...uv->...uk", b1[ins.i_in1], b2[ins.i_in2], C, w)
+        term = term * alpha
+        acc[ins.i_out] = term if acc[ins.i_out] is None else acc[ins.i_out] + term
+    return _assemble(prog.irreps_out, acc, batch, x1.dtype)
+
+
+def apply_fctp(prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """uvw TP with shared weights (flat vector of length ``weight_numel``)."""
+    b1 = _blocks(prog.irreps_in1, x1)
+    b2 = _blocks(prog.irreps_in2, x2)
+    batch = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1])
+    acc: List[Optional[jnp.ndarray]] = [None] * len(prog.irreps_out)
+    for ins in prog.instructions:
+        C = jnp.asarray(prog.w3j_for(ins), dtype=x1.dtype)
+        mul1, mul2, mul3 = ins.w_shape
+        w = weight[ins.w_start : ins.w_start + mul1 * mul2 * mul3].reshape(mul1, mul2, mul3)
+        alpha = prog.alpha[ins.i_out]
+        term = jnp.einsum("...ui,...vj,ijk,uvw->...wk", b1[ins.i_in1], b2[ins.i_in2], C, w)
+        acc[ins.i_out] = (term * alpha) if acc[ins.i_out] is None else acc[ins.i_out] + term * alpha
+    return _assemble(prog.irreps_out, acc, batch, x1.dtype)

@@ -1,0 +1,183 @@
+"""Tensor-product flax modules: depthwise TP conv, fully-connected TP,
+SeparableFCTP (DTP + radial MLP + linear + gate).
+
+Reference counterparts:
+* ``DepthwiseTP``      <- ``DepthwiseTensorProduct`` (``tensor_product_rescale.py:352-382``)
+* ``FullyConnectedTP`` <- ``FullyConnectedTensorProductRescale`` (``:155-173``)
+* ``FullyConnectedTPSwishGate`` <- ``:241-268``
+* ``SeparableFCTP``    <- ``equiformer/graph_attention_transformer.py:60-135``
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geom.irreps import Irrep, Irreps
+from .layers import GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
+from .radial import RadialProfile
+from .tp import apply_dtp, apply_fctp, dtp_instructions, fctp_instructions
+
+__all__ = ["DepthwiseTP", "FullyConnectedTP", "FullyConnectedTPSwishGate", "SeparableFCTP"]
+
+
+def _uniform_pm1(key, shape, dtype):
+    import jax
+
+    return jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+
+
+class DepthwiseTP(nn.Module):
+    """'uvu' TP of node features with edge attributes; weights either internal
+    (shared) or supplied externally (from a radial MLP)."""
+
+    irreps_in: Irreps
+    irreps_edge: Irreps
+    irreps_out_target: Irreps
+    internal_weights: bool = False
+    bias: bool = False
+
+    @property
+    def program(self):
+        return dtp_instructions(Irreps(self.irreps_in), Irreps(self.irreps_edge), Irreps(self.irreps_out_target))
+
+    @property
+    def irreps_out(self) -> Irreps:
+        return self.program.irreps_out
+
+    @property
+    def weight_numel(self) -> int:
+        return self.program.weight_numel
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, edge_attr: jnp.ndarray, weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        prog = self.program
+        if self.internal_weights:
+            assert weight is None
+            weight = self.param("tp_weight", _uniform_pm1, (prog.weight_numel,), x.dtype)
+        assert weight is not None
+        out = apply_dtp(prog, x, edge_attr, weight)
+        if self.bias:
+            out = _add_scalar_bias(self, prog.irreps_out, out)
+        return out
+
+
+def _add_scalar_bias(module: nn.Module, irreps_out: Irreps, out: jnp.ndarray) -> jnp.ndarray:
+    """Bias on even-scalar slices (``TensorProductRescale.forward_tp_rescale_bias``,
+    ``tensor_product_rescale.py:135-147``)."""
+    n_scalar = sum(mul for mul, ir in irreps_out if ir == Irrep(0, 1))
+    if n_scalar == 0:
+        return out
+    bias_param = module.param("bias", nn.initializers.zeros, (n_scalar,), out.dtype)
+    pieces = []
+    i = 0
+    bidx = 0
+    for mul, ir in irreps_out:
+        d = mul * ir.dim
+        blk = out[..., i : i + d]
+        if ir == Irrep(0, 1):
+            blk = blk + bias_param[bidx : bidx + mul]
+            bidx += mul
+        pieces.append(blk)
+        i += d
+    return jnp.concatenate(pieces, axis=-1)
+
+
+class FullyConnectedTP(nn.Module):
+    """'uvw' TP with shared weights and scalar bias (``FCTP Rescale``)."""
+
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+    use_bias: bool = True
+
+    @property
+    def program(self):
+        return fctp_instructions(Irreps(self.irreps_in1), Irreps(self.irreps_in2), Irreps(self.irreps_out))
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        prog = self.program
+        weight = self.param("tp_weight", _uniform_pm1, (prog.weight_numel,), x1.dtype)
+        out = apply_fctp(prog, x1, x2, weight)
+        if self.use_bias:
+            out = _add_scalar_bias(self, prog.irreps_out, out)
+        return out
+
+
+class FullyConnectedTPSwishGate(nn.Module):
+    """FCTP into the gate layout, then gated nonlinearity -> ``irreps_out``."""
+
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        out_ir = Irreps(self.irreps_out)
+        s, g, t = irreps2gate(out_ir)
+        if g.dim == 0:
+            h = FullyConnectedTP(self.irreps_in1, self.irreps_in2, out_ir)(x1, x2)
+            return scalar_silu(h)
+        gate_in = (s + g + t).simplify()
+        h = FullyConnectedTP(self.irreps_in1, self.irreps_in2, gate_in)(x1, x2)
+        return GateFromIrreps(irreps_out=out_ir)(h)
+
+
+class SeparableFCTP(nn.Module):
+    """DTP (radial-weighted) + Linear (+ Gate).
+
+    ``fc_neurons`` is the radial MLP channel list whose input is the edge
+    scalar embedding; ``None`` means internal (shared) TP weights — exactly
+    the two modes used by the attention value/key paths
+    (``graph_attention.py:176-190``).
+    """
+
+    irreps_in: Irreps
+    irreps_edge: Irreps
+    irreps_out: Irreps
+    fc_neurons: Optional[Sequence[int]] = None
+    use_activation: bool = False
+    internal_weights: bool = False
+
+    def dtp_module(self) -> DepthwiseTP:
+        return DepthwiseTP(
+            irreps_in=Irreps(self.irreps_in),
+            irreps_edge=Irreps(self.irreps_edge),
+            irreps_out_target=Irreps(self.irreps_out),
+            internal_weights=self.internal_weights,
+            bias=False,
+            name="dtp",
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        edge_attr: jnp.ndarray,
+        edge_scalars: Optional[jnp.ndarray] = None,
+        external_dtp_out: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        out_ir = Irreps(self.irreps_out)
+        dtp = self.dtp_module()
+        if external_dtp_out is not None:
+            mid = external_dtp_out
+        else:
+            if self.fc_neurons is not None and edge_scalars is not None:
+                w = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp.weight_numel,), name="rad")(
+                    edge_scalars
+                )
+                mid = dtp(x, edge_attr, w)
+            else:
+                mid = dtp(x, edge_attr)
+        if self.use_activation:
+            s, g, t = irreps2gate(out_ir)
+            if g.dim == 0:
+                h = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(mid)
+                return scalar_silu(h)
+            gate_in = (s + g + t).simplify()
+            h = IrrepsLinear(dtp.irreps_out, gate_in, name="lin")(mid)
+            return GateFromIrreps(irreps_out=out_ir)(h)
+        h = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(mid)
+        return h

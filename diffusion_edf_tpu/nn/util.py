@@ -1,0 +1,64 @@
+"""Small numeric utilities for the equivariant NN library."""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["normalize2mom_const", "silu_norm", "sigmoid_norm", "smooth_leaky_relu"]
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_hermite(n: int = 201):
+    # nodes/weights for E_{x~N(0,1)}[f(x)] = sum w_i f(sqrt(2) x_i) / sqrt(pi)
+    x, w = np.polynomial.hermite.hermgauss(n)
+    return x * np.sqrt(2.0), w / np.sqrt(np.pi)
+
+
+def normalize2mom_const(fn: Callable[[np.ndarray], np.ndarray]) -> float:
+    """Constant ``c`` with ``E[(c*fn(x))^2] = 1`` for ``x ~ N(0,1)``.
+
+    Deterministic Gauss-Hermite version of e3nn's ``normalize2mom`` (applied
+    to every scalar activation in the reference,
+    ``equiformer/fast_activation.py:69``).
+    """
+    x, w = _gauss_hermite()
+    second = float(np.sum(w * fn(x) ** 2))
+    return 1.0 / np.sqrt(second)
+
+
+def _np_silu(x: np.ndarray) -> np.ndarray:
+    return x / (1.0 + np.exp(-x))
+
+
+def _np_sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+@functools.lru_cache(maxsize=None)
+def silu_norm() -> float:
+    return normalize2mom_const(_np_silu)
+
+
+@functools.lru_cache(maxsize=None)
+def sigmoid_norm() -> float:
+    return normalize2mom_const(_np_sigmoid)
+
+
+def smooth_leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    """``SmoothLeakyReLU`` (``equiformer/fast_activation.py:14-23``);
+    ``2*sigmoid(x) - 1 == tanh(x/2)``."""
+    a = negative_slope
+    return ((1 + a) / 2) * x + ((1 - a) / 2) * x * jnp.tanh(x / 2.0)
+
+
+@functools.lru_cache(maxsize=None)
+def smooth_leaky_relu_norm(negative_slope: float = 0.2) -> float:
+    a = negative_slope
+
+    def f(x):
+        return ((1 + a) / 2) * x + ((1 - a) / 2) * x * np.tanh(x / 2.0)
+
+    return normalize2mom_const(f)

@@ -1,0 +1,196 @@
+"""Equivariance and shape tests for the NN library.
+
+Property tested everywhere (SURVEY.md §4 level 2): for random rotation g,
+``layer(D_in(g) x) == D_out(g) layer(x)``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu.geom import so3, wigner
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.models.data import FeaturedPoints
+from diffusion_edf_tpu.models.edge import RadiusEdgeEncoder
+from diffusion_edf_tpu.nn import (
+    DepthwiseTP,
+    EquiformerBlock,
+    EquivariantLayerNorm,
+    FeedForwardNetwork,
+    FullyConnectedTP,
+    IrrepsLinear,
+    SeparableFCTP,
+)
+
+
+def rot(irreps, f, q):
+    """Rotate single-batch irreps features by one quaternion."""
+    return wigner.rotate_irreps(Irreps(irreps), f, q[None])[0]
+
+
+def _assert_equivariant(apply_fn, irreps_in, irreps_out, key, atol=1e-4, extra_in=None):
+    kq, kf = jax.random.split(key)
+    q = so3.random_quaternions(kq, 1)[0]
+    f = jax.random.normal(kf, (7, Irreps(irreps_in).dim))
+    out = apply_fn(f)
+    out_rot_in = apply_fn(rot(irreps_in, f, q))
+    np.testing.assert_allclose(out_rot_in, rot(irreps_out, out, q), atol=atol)
+
+
+class TestLinear:
+    def test_equivariance(self):
+        irreps_in = Irreps("4x0e+3x1e+2x2e")
+        irreps_out = Irreps("5x0e+2x1e+1x2e")
+        m = IrrepsLinear(irreps_in, irreps_out)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, irreps_in.dim)))
+        _assert_equivariant(lambda f: m.apply(params, f), irreps_in, irreps_out, jax.random.PRNGKey(1))
+
+    def test_missing_degree_zero(self):
+        m = IrrepsLinear(Irreps("4x0e"), Irreps("2x0e+2x1e"))
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+        out = m.apply(params, jnp.ones((3, 4)))
+        np.testing.assert_allclose(out[:, 2:], 0.0)
+
+
+class TestLayerNorm:
+    def test_equivariance(self):
+        irreps = Irreps("4x0e+3x1e+2x2e")
+        m = EquivariantLayerNorm(irreps=irreps)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, irreps.dim)))
+        _assert_equivariant(lambda f: m.apply(params, f), irreps, irreps, jax.random.PRNGKey(2))
+
+    def test_scalar_centering(self):
+        irreps = Irreps("8x0e")
+        m = EquivariantLayerNorm(irreps=irreps, affine=False)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))
+        out = m.apply(params, jax.random.normal(jax.random.PRNGKey(1), (5, 8)))
+        np.testing.assert_allclose(np.mean(np.asarray(out), -1), 0.0, atol=1e-5)
+
+
+class TestTensorProducts:
+    def test_dtp_equivariance(self):
+        irreps_in = Irreps("3x0e+2x1e+1x2e")
+        irreps_sh = Irreps("1x0e+1x1e+1x2e")
+        m = DepthwiseTP(irreps_in=irreps_in, irreps_edge=irreps_sh, irreps_out_target=irreps_in, internal_weights=True)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, irreps_in.dim)), jnp.zeros((1, irreps_sh.dim)))
+        irreps_out = m.irreps_out
+        key = jax.random.PRNGKey(3)
+        kq, k1, k2 = jax.random.split(key, 3)
+        q = so3.random_quaternions(kq, 1)[0]
+        x1 = jax.random.normal(k1, (7, irreps_in.dim))
+        x2 = jax.random.normal(k2, (7, irreps_sh.dim))
+        out = m.apply(params, x1, x2)
+        out2 = m.apply(params, rot(irreps_in, x1, q), rot(irreps_sh, x2, q))
+        np.testing.assert_allclose(out2, rot(irreps_out, out, q), atol=1e-4)
+
+    def test_fctp_equivariance(self):
+        i1, i2, io = Irreps("2x0e+2x1e"), Irreps("1x0e+1x1e"), Irreps("3x0e+2x1e+1x2e")
+        m = FullyConnectedTP(i1, i2, io)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, i1.dim)), jnp.zeros((1, i2.dim)))
+        kq, k1, k2 = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = so3.random_quaternions(kq, 1)[0]
+        x1 = jax.random.normal(k1, (5, i1.dim))
+        x2 = jax.random.normal(k2, (5, i2.dim))
+        out = m.apply(params, x1, x2)
+        out2 = m.apply(params, rot(i1, x1, q), rot(i2, x2, q))
+        np.testing.assert_allclose(out2, rot(io, out, q), atol=1e-4)
+
+    def test_dtp_variance_scale(self):
+        """Component-normalized TP should roughly preserve unit variance."""
+        irreps_in = Irreps("32x0e+16x1e+8x2e")
+        irreps_sh = Irreps("1x0e+1x1e+1x2e")
+        m = DepthwiseTP(irreps_in=irreps_in, irreps_edge=irreps_sh, irreps_out_target=irreps_in, internal_weights=True)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+        x1 = jax.random.normal(k1, (512, irreps_in.dim))
+        x2 = jax.random.normal(k2, (512, irreps_sh.dim))
+        params = m.init(k3, x1, x2)
+        out = np.asarray(m.apply(params, x1, x2))
+        v = out.var()
+        assert 0.05 < v < 5.0, v
+
+    def test_separable_fctp_gate_equivariance(self):
+        irreps_in = Irreps("4x0e+2x1e")
+        irreps_sh = Irreps("1x0e+1x1e")
+        irreps_out = Irreps("4x0e+2x1e")
+        m = SeparableFCTP(irreps_in=irreps_in, irreps_edge=irreps_sh, irreps_out=irreps_out,
+                          fc_neurons=(8, 8), use_activation=True)
+        sc = jnp.ones((5, 8))
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((5, irreps_in.dim)), jnp.zeros((5, irreps_sh.dim)), sc)
+        kq, k1, k2 = jax.random.split(jax.random.PRNGKey(6), 3)
+        q = so3.random_quaternions(kq, 1)[0]
+        x1 = jax.random.normal(k1, (5, irreps_in.dim))
+        x2 = jax.random.normal(k2, (5, irreps_sh.dim))
+        out = m.apply(params, x1, x2, sc)
+        out2 = m.apply(params, rot(irreps_in, x1, q), rot(irreps_sh, x2, q), sc)
+        np.testing.assert_allclose(out2, rot(irreps_out, out, q), atol=1e-4)
+
+
+class TestFFN:
+    def test_equivariance(self):
+        irreps = Irreps("4x0e+3x1e+2x2e")
+        m = FeedForwardNetwork(irreps_in=irreps, irreps_out=irreps)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, irreps.dim)))
+        _assert_equivariant(lambda f: m.apply(params, f), irreps, irreps, jax.random.PRNGKey(7))
+
+
+class TestEquiformerBlock:
+    def _make(self, n_src=30, n_dst=12, k=8):
+        irreps = Irreps("8x0e+4x1e+2x2e")
+        irreps_sh = Irreps("1x0e+1x1e+1x2e")
+        key = jax.random.PRNGKey(8)
+        ks = jax.random.split(key, 6)
+        src = FeaturedPoints(
+            x=jax.random.normal(ks[0], (n_src, 3)),
+            f=jax.random.normal(ks[1], (n_src, irreps.dim)),
+            mask=jnp.arange(n_src) < n_src - 3,
+        )
+        dst = FeaturedPoints(
+            x=jax.random.normal(ks[2], (n_dst, 3)),
+            f=jax.random.normal(ks[3], (n_dst, irreps.dim)),
+            mask=jnp.ones(n_dst, bool),
+        )
+        enc = RadiusEdgeEncoder(r_cutoff=2.5, k=k, irreps_sh=irreps_sh, length_enc_dim=16,
+                                r_mincut_nonscalar_sh=0.1)
+        block = EquiformerBlock(
+            irreps_src=irreps, irreps_dst=irreps, irreps_edge_attr=irreps_sh,
+            num_heads=2, fc_neurons=(16, 16), alpha_drop=0.0,
+        )
+        return irreps, irreps_sh, src, dst, enc, block
+
+    def test_block_equivariance(self):
+        irreps, irreps_sh, src, dst, enc, block = self._make()
+        enc_params = enc.init(jax.random.PRNGKey(9), src, dst)
+
+        def full(src, dst):
+            edges = enc.apply(enc_params, src, dst)
+            return block.apply(block_params, src, dst, edges)
+
+        edges0 = enc.apply(enc_params, src, dst)
+        block_params = block.init(jax.random.PRNGKey(10), src, dst, edges0)
+
+        out = full(src, dst)
+        q = so3.random_quaternions(jax.random.PRNGKey(11), 1)[0]
+        R = lambda x: so3.quaternion_apply(q[None], x)
+        src_r = FeaturedPoints(x=R(src.x), f=rot(irreps, src.f, q), mask=src.mask, w=src.w)
+        dst_r = FeaturedPoints(x=R(dst.x), f=rot(irreps, dst.f, q), mask=dst.mask, w=dst.w)
+        out_r = full(src_r, dst_r)
+        np.testing.assert_allclose(np.asarray(out_r.f), np.asarray(rot(irreps, out.f, q)), atol=2e-4)
+
+    def test_padded_invariance(self):
+        """Adding more padded (masked-out) src points must not change output."""
+        irreps, irreps_sh, src, dst, enc, block = self._make()
+        edges0 = enc.init_with_output(jax.random.PRNGKey(9), src, dst)
+        enc_params = enc.init(jax.random.PRNGKey(9), src, dst)
+        edges = enc.apply(enc_params, src, dst)
+        block_params = block.init(jax.random.PRNGKey(10), src, dst, edges)
+        out = block.apply(block_params, src, dst, edges)
+
+        pad = 5
+        src_pad = FeaturedPoints(
+            x=jnp.concatenate([src.x, jnp.full((pad, 3), 1e3)], 0),
+            f=jnp.concatenate([src.f, jnp.zeros((pad, src.f.shape[-1]))], 0),
+            mask=jnp.concatenate([src.mask, jnp.zeros(pad, bool)]),
+        )
+        edges_pad = enc.apply(enc_params, src_pad, dst)
+        out_pad = block.apply(block_params, src_pad, dst, edges_pad)
+        np.testing.assert_allclose(np.asarray(out_pad.f), np.asarray(out.f), atol=1e-5)
