@@ -1,0 +1,18 @@
+"""diffusion_edf_tpu: a TPU-native (JAX/XLA/Pallas) framework for
+bi-equivariant SE(3) denoising generative modeling on point clouds, with the
+capabilities of the reference `tomato1mule/diffusion_edf` (CVPR 2024)
+re-designed TPU-first.
+
+Subpackages:
+  geom      — irreps, SO(3)/SE(3) algebra, Wigner-D, spherical harmonics,
+              Clebsch-Gordan tables, IGSO(3) diffusion math
+  ops       — static-shape point-cloud kernels (radius search, FPS)
+  nn        — equivariant flax layers (tensor products, attention, blocks)
+  models    — tensor fields, feature extractors, score heads, assemblies
+  diffusion — training diffusion + annealed Langevin sampling
+  train     — trainer, data pipeline, checkpointing, metrics
+  parallel  — device-mesh sharding (seed-parallel sampling, DP training)
+  serve     — inference server
+"""
+
+__version__ = "0.1.0"

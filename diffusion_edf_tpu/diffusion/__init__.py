@@ -1,0 +1,4 @@
+"""Diffusion runtime: training-time SE(3) perturbation and annealed Langevin
+sampling."""
+from .diffuse import biequiv_diffusion, diffuse_T_target, random_time, sample_reference_points  # noqa: F401
+from .langevin import LangevinSchedule, build_schedule, langevin_sample  # noqa: F401

@@ -1,0 +1,115 @@
+"""Training-time SE(3) diffusion: contact-point sampling + pose perturbation
+with analytic score targets.
+
+Reference: ``/root/reference/diffusion_edf/train_utils.py`` (reference-point
+sampling ``:60-95``, ``random_time:98``, ``diffuse_T_target:115-138``) and the
+orchestration in ``trainer.py:247-305`` (``biequiv_diffusion``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import igso3, so3
+from ..models.data import FeaturedPoints
+from ..ops.neighbors import count_within_radius
+
+__all__ = ["sample_reference_points", "random_time", "diffuse_T_target", "biequiv_diffusion"]
+
+
+def sample_reference_points(
+    key: jax.Array,
+    src_points: jnp.ndarray,
+    dst_points: jnp.ndarray,
+    r: float,
+    n_samples: int,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ``n_samples`` contact reference points from ``dst_points``
+    weighted by their neighbor count in ``src_points`` within radius ``r``
+    (``train_utils.py:60-70``).  Zero-contact situations degrade to uniform
+    sampling over valid points (the reference raises; inside jit we cannot)."""
+    counts = count_within_radius(src_points, dst_points, r, src_mask=src_mask, dst_mask=dst_mask)
+    w = counts.astype(jnp.float32)
+    if dst_mask is not None:
+        w = jnp.where(dst_mask, w, 0.0)
+    total = jnp.sum(w)
+    fallback = (
+        jnp.ones_like(w) if dst_mask is None else dst_mask.astype(jnp.float32)
+    )
+    w = jnp.where(total > 0, w, fallback)
+    idx = jax.random.categorical(key, jnp.log(w + 1e-30), shape=(n_samples,))
+    return dst_points[idx], counts
+
+
+def random_time(
+    key: jax.Array, min_time: float, max_time: float, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Uniform in [min_time, max_time] (``train_utils.py:98-111``)."""
+    u = jax.random.uniform(key, (1,), dtype=dtype)
+    ratio = min_time / max_time
+    return (ratio + u * (1.0 - ratio)) * max_time
+
+
+def diffuse_T_target(
+    key: jax.Array,
+    T_target: jnp.ndarray,  # (nT, 7)
+    x_ref: jnp.ndarray,  # (nX, 3)
+    time: jnp.ndarray,  # (1,) or scalar
+    lin_mult: float,
+    ang_mult: float,
+    lmax: int = 100,
+):
+    """Perturb the target pose around each reference point
+    (``train_utils.py:115-138``): ``eps = t/2 * ang_mult^2``,
+    ``std = sqrt(t) * lin_mult``.  Returns flattened (nX*nT, ...) arrays."""
+    t = jnp.reshape(time, ())
+    eps = t / 2.0 * (ang_mult**2)
+    std = jnp.sqrt(t) * lin_mult
+    T, delta_T, (ang, lin), (ang_ref, lin_ref) = igso3.diffuse_isotropic_se3(
+        key, T_target, eps, std, x_ref=x_ref, lmax=lmax
+    )
+    nflat = T.shape[0] * T.shape[1]
+    time_in = jnp.full((nflat,), t, dtype=T.dtype)
+    return (
+        T.reshape(nflat, 7),
+        delta_T.reshape(nflat, 7),
+        time_in,
+        (ang.reshape(nflat, 3), lin.reshape(nflat, 3)),
+        (ang_ref.reshape(nflat, 3), lin_ref.reshape(nflat, 3)),
+    )
+
+
+def biequiv_diffusion(
+    key: jax.Array,
+    T_init: jnp.ndarray,  # (1, 7)
+    time: Union[float, jnp.ndarray],
+    scene_points: FeaturedPoints,
+    grasp_points: FeaturedPoints,
+    ang_mult: float,
+    lin_mult: float,
+    n_samples_x_ref: int,
+    contact_radius: float,
+    lmax: int = 100,
+):
+    """Contact-point sampling + diffusion (``trainer.py:247-305``): scene is
+    moved into the grasp frame by ``T_init^-1`` and contact points are drawn
+    from grasp points near the transformed scene."""
+    k_ref, k_diff = jax.random.split(key)
+    T_inv = so3.se3_invert(T_init)[0]
+    scene_in_grasp = so3.quaternion_apply(T_inv[None, :4], scene_points.x) + T_inv[None, 4:]
+    x_ref, _ = sample_reference_points(
+        k_ref,
+        scene_in_grasp,
+        grasp_points.x,
+        contact_radius,
+        n_samples_x_ref,
+        src_mask=scene_points.mask,
+        dst_mask=grasp_points.mask,
+    )
+    return diffuse_T_target(
+        k_diff, T_init, x_ref, jnp.asarray(time), lin_mult=lin_mult, ang_mult=ang_mult, lmax=lmax
+    )

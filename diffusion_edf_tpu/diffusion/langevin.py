@@ -1,0 +1,118 @@
+"""Annealed Langevin dynamics on SE(3) as a single fused ``lax.scan``.
+
+Reference: the python-loop sampler in ``score_model_base.py:110-204``.  The
+TPU redesign: all schedule segments are precomputed into flat per-step arrays
+(t, alpha_ang, alpha_lin, temperature) on the host, then ONE ``lax.scan``
+rolls every step with the pose batch as carry — no host round-trips, no
+per-step dispatch, batched over all seeds at once (and shardable over chips,
+see ``parallel/``).
+
+Precision: the reference keeps pose state in float64 (``:136-138``); TPU has
+no fast f64, so state is f32 with per-step quaternion renormalization (which
+the reference also does, ``:192``) — drift stays bounded; validated by tests.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import so3
+from ..models.score_head import quat_L
+
+__all__ = ["LangevinSchedule", "build_schedule", "langevin_sample"]
+
+
+class LangevinSchedule(NamedTuple):
+    t: jnp.ndarray  # (S,)
+    alpha_ang: jnp.ndarray  # (S,)
+    alpha_lin: jnp.ndarray  # (S,)
+    temperature: jnp.ndarray  # (S,)
+
+
+def build_schedule(
+    diffusion_schedules: Sequence[Sequence[float]],
+    N_steps: Sequence[int],
+    timesteps: Sequence[float],
+    ang_mult: float,
+    lin_mult: float,
+    temperatures: Union[float, Sequence[float]] = 1.0,
+    log_t_schedule: bool = True,
+    time_exponent_temp: float = 0.5,
+    time_exponent_alpha: float = 0.5,
+    dtype=jnp.float32,
+) -> LangevinSchedule:
+    """Flatten all annealing segments into per-step arrays
+    (``score_model_base.py:146-171``):
+    ``alpha = timestep * mult^2 * t^exp_alpha``, ``T = temp * t^exp_temp``."""
+    if isinstance(temperatures, (int, float)):
+        temperatures = [float(temperatures)] * len(diffusion_schedules)
+    ts, a_ang, a_lin, temps = [], [], [], []
+    for (t0, t1), n, dt, temp in zip(diffusion_schedules, N_steps, timesteps, temperatures):
+        if log_t_schedule:
+            seg = np.logspace(math.log(t0), math.log(t1), n, base=math.e)
+        else:
+            seg = np.linspace(t0, t1, n)
+        ts.append(seg)
+        a_ang.append(ang_mult**2 * seg**time_exponent_alpha * dt)
+        a_lin.append(lin_mult**2 * seg**time_exponent_alpha * dt)
+        temps.append(temp * seg**time_exponent_temp)
+    return LangevinSchedule(
+        t=jnp.asarray(np.concatenate(ts), dtype=dtype),
+        alpha_ang=jnp.asarray(np.concatenate(a_ang), dtype=dtype),
+        alpha_lin=jnp.asarray(np.concatenate(a_lin), dtype=dtype),
+        temperature=jnp.asarray(np.concatenate(temps), dtype=dtype),
+    )
+
+
+def langevin_sample(
+    key: jax.Array,
+    score_fn,
+    T_seed: jnp.ndarray,  # (nT, 7)
+    schedule: LangevinSchedule,
+    ang_mult: float,
+    lin_mult: float,
+    record_trajectory: bool = True,
+):
+    """Annealed Langevin rollout.
+
+    ``score_fn(Ts (nT,7), time (nT,)) -> (ang, lin)`` returns the
+    *dimensionless* network output; it is unscaled by ``1/(mult*sqrt(t))``
+    here exactly as in ``score_model_base.py:178-179``.  Returns the final
+    poses and, optionally, the full trajectory (S+1, nT, 7).
+    """
+    nT = T_seed.shape[0]
+
+    def step(carry, inp):
+        T, k = carry
+        t, a_ang, a_lin, temp = inp
+        time_vec = jnp.full((nT,), t, dtype=T.dtype)
+        ang, lin = score_fn(T, time_vec)
+        sqrt_t = jnp.sqrt(t)
+        ang = ang / (ang_mult * sqrt_t)
+        lin = lin / (lin_mult * sqrt_t)
+
+        k, k1, k2 = jax.random.split(k, 3)
+        ang_noise = jnp.sqrt(temp * a_ang) * jax.random.normal(k1, ang.shape, dtype=T.dtype)
+        lin_noise = jnp.sqrt(temp * a_lin) * jax.random.normal(k2, lin.shape, dtype=T.dtype)
+        ang_disp = (a_ang / 2.0) * ang + ang_noise
+        lin_disp = (a_lin / 2.0) * lin + lin_noise
+
+        q, x = T[..., :4], T[..., 4:]
+        dq = jnp.einsum("...ia,...a->...i", quat_L(q), ang_disp)
+        dx = so3.quaternion_apply(q, lin_disp)
+        q = so3.normalize_quaternion(q + dq)
+        T_new = jnp.concatenate([q, x + dx], axis=-1)
+        return (T_new, k), (T_new if record_trajectory else jnp.zeros((0,), dtype=T.dtype))
+
+    xs = jnp.stack(
+        [schedule.t, schedule.alpha_ang, schedule.alpha_lin, schedule.temperature], axis=-1
+    )
+    (T_final, _), traj = jax.lax.scan(step, (T_seed, key), xs)
+    if record_trajectory:
+        traj = jnp.concatenate([T_seed[None], traj], axis=0)
+        return T_final, traj
+    return T_final, None

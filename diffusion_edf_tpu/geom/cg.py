@@ -32,7 +32,12 @@ import numpy as np
 
 __all__ = ["rot_x", "rot_y", "rot_z", "rand_rotation", "real_wigner_D", "w3j", "w3j_matrix"]
 
-_AXIS_PERM = (1, 2, 0)  # real l=1 basis is (y, z, x)
+# Real l=1 basis is CARTESIAN (x, y, z): D^1(R) == R and Y_1 = sqrt(3)(x,y,z),
+# matching e3nn's convention so that 1e feature triples can be used directly as
+# vectors (the reference's score head does exactly this,
+# ``score_head.py:198-209``).  Higher-l bases come from the m-ordered real-SH
+# construction conjugated accordingly; only self-consistency matters there.
+_AXIS_PERM = (0, 1, 2)
 
 
 # --------------------------------------------------------------------------- #
@@ -159,6 +164,8 @@ def real_wigner_D(l: int, R: np.ndarray) -> np.ndarray:
     """
     if l == 0:
         return np.ones((1, 1), dtype=np.float64)
+    if l == 1:
+        return d1_from_rotation(R)  # cartesian basis: D^1 == R
     Q = _real_basis_Q(l)
     X = Q.conj().T @ _complex_wigner_D(l, R).conj() @ Q
     assert np.abs(X.imag).max() < 1e-9, f"non-real Wigner D at l={l}"

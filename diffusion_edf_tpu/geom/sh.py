@@ -7,7 +7,7 @@ recursion as :mod:`.wigner` so SH, Wigner-D and tensor products are all
 mutually equivariant by construction:
 
     Y_0 = 1
-    Y_1(u) = sqrt(3) * (u_y, u_z, u_x)
+    Y_1(u) = sqrt(3) * (u_x, u_y, u_z)
     Y_l(u) = c_l * einsum('a,b,abm->m', Y_1, Y_{l-1}, w3j(1, l-1, l))
 
 with ``c_l`` fixed so ``|Y_l(u)| = sqrt(2l+1)`` on the unit sphere
@@ -57,7 +57,7 @@ def spherical_harmonics(
 
     ys: List[jnp.ndarray] = [jnp.ones(u.shape[:-1] + (1,), dtype=u.dtype)]
     if lmax >= 1:
-        y1 = jnp.sqrt(jnp.asarray(3.0, dtype=u.dtype)) * u[..., jnp.array([1, 2, 0])]
+        y1 = jnp.sqrt(jnp.asarray(3.0, dtype=u.dtype)) * u  # cartesian l=1 basis
         ys.append(y1)
     for l in range(2, lmax + 1):
         C = jnp.asarray(np.asarray(w3j(1, l - 1, l)) * sh_recursion_norm(l), dtype=u.dtype)

@@ -25,7 +25,7 @@ from .so3 import quaternion_to_matrix
 
 __all__ = ["wigner_D_from_quaternion", "rotate_irreps", "wigner_D_blocks"]
 
-_AXIS_PERM = (1, 2, 0)  # real l=1 basis (y, z, x)
+_AXIS_PERM = (0, 1, 2)  # real l=1 basis is cartesian (x, y, z): D^1 == R
 
 
 @functools.lru_cache(maxsize=None)
@@ -43,8 +43,7 @@ def wigner_D_blocks(q: jnp.ndarray, lmax: int) -> Dict[int, jnp.ndarray]:
     if lmax == 0:
         return out
     R = quaternion_to_matrix(q)
-    perm = list(_AXIS_PERM)
-    D1 = R[..., perm, :][..., :, perm]
+    D1 = R  # cartesian l=1 basis
     out[1] = D1
     for l in range(2, lmax + 1):
         d_prev = 2 * l - 1

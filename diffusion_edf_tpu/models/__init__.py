@@ -1,0 +1,9 @@
+"""Model layer: data containers, edge encoders, tensor fields, extractors,
+keypoint models, score heads and assemblies."""
+from .data import FeaturedPoints, GraphEdges, concat_edges  # noqa: F401
+from .edge import InfiniteEdgeEncoder, RadiusEdgeEncoder  # noqa: F401
+from .extractor import ForwardOnlyFeatureExtractor, UnetFeatureExtractor  # noqa: F401
+from .keypoint import KeypointExtractor, StaticKeypointModel  # noqa: F401
+from .score_head import EbmScoreModelHead, ScoreModelHead, ebm_score, quat_L  # noqa: F401
+from .score_model import MultiscaleScoreModel, PointAttentiveScoreModel, train_loss  # noqa: F401
+from .tensor_field import MultiscaleTensorField  # noqa: F401

@@ -1,0 +1,364 @@
+"""Multiscale point-cloud feature extractors (UNet and forward-only).
+
+Reference: ``/root/reference/diffusion_edf/unet_feature_extractor.py`` and
+``forward_only_feature_extractor.py``.  Structure per scale n:
+
+  down:  FPS pool (ratio) -> pool projection -> bipartite Equiformer block over
+         (fine -> coarse) radius edges, then (n_layers-1) self radius-graph
+         attention layers;  mid: ``n_layers_midstream`` self layers on the
+         coarsest scale;  up (UNet only): self layers + unpool blocks walking
+         the hierarchy back down with (a+b)/sqrt(3) skip connections
+         (``unet_feature_extractor.py:347-399``).
+
+TPU-native departures:
+* pooled sizes are static: ``M_n = ceil(ratio * M_{n-1})`` of the *padded*
+  count, with FPS validity masks carrying the true count;
+* the up path re-derives reversed edges by running the padded radius search
+  with src/dst swapped — the freshly computed SH of the negated edge vector
+  *is* the reference's ``ParityInversionSh`` (``utils.py:26-47``) applied to
+  the down-edge SH, so no explicit sign flip is needed;
+* per-scale static neighbor caps ``k_pool / k_self / k_up`` replace the
+  reference's max_num_neighbors=1000.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geom.irreps import Irreps, multiply_irreps
+from ..geom.sh import spherical_harmonics
+from ..nn.blocks import EquiformerBlock, ProjectIfMismatch
+from ..nn.layers import IrrepsLinear
+from ..nn.radial import GaussianRadialBasisFiniteCutoff
+from ..ops.neighbors import farthest_point_sampling, radius_neighbors
+from .data import FeaturedPoints, GraphEdges
+
+__all__ = ["UnetFeatureExtractor", "ForwardOnlyFeatureExtractor", "resolve_radii"]
+
+
+def resolve_radii(radius: Sequence[Optional[float]], pool_ratio: Sequence[float]) -> List[float]:
+    """None radii grow by 1/sqrt(pool_ratio) of the previous scale
+    (``unet_feature_extractor.py:79-86``)."""
+    out = [float(radius[0])]
+    for n, r in enumerate(radius[1:]):
+        if r is None:
+            out.append(out[-1] / math.sqrt(pool_ratio[n - 1] if n >= 1 else pool_ratio[0]))
+        else:
+            out.append(float(r))
+    return out
+
+
+def _edges(
+    src: FeaturedPoints,
+    dst: FeaturedPoints,
+    r: float,
+    k: int,
+    irreps_sh: Irreps,
+    exclude_src_idx=None,
+    exclude_src_owner=None,
+    exclude_diagonal: bool = False,
+) -> GraphEdges:
+    idx, mask = radius_neighbors(
+        src.x,
+        dst.x,
+        r,
+        k,
+        src_mask=src.mask,
+        dst_mask=dst.mask,
+        exclude_src_idx=exclude_src_idx,
+        exclude_src_owner=exclude_src_owner,
+        exclude_diagonal=exclude_diagonal,
+    )
+    vec = src.x[idx] - dst.x[:, None, :]
+    length = jnp.linalg.norm(vec + 1e-20, axis=-1)
+    attr = spherical_harmonics(irreps_sh, vec)
+    return GraphEdges(idx=idx, mask=mask, length=length, attr=attr)
+
+
+class _ScaleLayer(nn.Module):
+    """Radial basis + Equiformer block over a fixed edge structure
+    (one ``layer = {radial, gnn}`` dict of the reference)."""
+
+    irreps_src: Irreps
+    irreps_dst: Irreps
+    irreps_sh: Irreps
+    num_heads: int
+    fc_neurons: Sequence[int]
+    radius: float
+    irreps_mlp_mid: int = 3
+    alpha_drop: float = 0.1
+    irreps_head: Optional[Irreps] = None
+
+    @nn.compact
+    def __call__(self, src: FeaturedPoints, dst: FeaturedPoints, edges: GraphEdges, deterministic: bool = True) -> FeaturedPoints:
+        scalars = GaussianRadialBasisFiniteCutoff(
+            num_basis=self.fc_neurons[0], cutoff=0.99 * self.radius, name="radial"
+        )(edges.length)
+        edges = edges.replace(scalars=scalars)
+        return EquiformerBlock(
+            irreps_src=self.irreps_src,
+            irreps_dst=self.irreps_dst,
+            irreps_edge_attr=self.irreps_sh,
+            num_heads=self.num_heads,
+            fc_neurons=tuple(self.fc_neurons),
+            irreps_head=self.irreps_head,
+            irreps_mlp_mid=self.irreps_mlp_mid,
+            alpha_drop=self.alpha_drop,
+            use_edge_logits=False,
+            name="gnn",
+        )(src, dst, edges, deterministic=deterministic)
+
+
+class _DownPath(nn.Module):
+    """Shared down path: input embedding + per-scale pool/self layers.
+
+    Returns (per-scale outputs, per-scale self-edge structures, per-push
+    feature stack mirroring the reference's ``downstream_outputs``)."""
+
+    irreps_input: Optional[Irreps]
+    irreps_emb: Sequence[Irreps]
+    irreps_edge_attr: Sequence[Irreps]
+    num_heads: Sequence[int]
+    fc_neurons: Sequence[Sequence[int]]
+    n_layers: Sequence[int]
+    pool_ratio: Sequence[float]
+    radii: Sequence[float]
+    k_pool: Sequence[int]
+    k_self: Sequence[int]
+    irreps_mlp_mid: int = 3
+    alpha_drop: float = 0.1
+    deterministic_fps: bool = True
+
+    @nn.compact
+    def __call__(self, pcd: FeaturedPoints, deterministic: bool = True):
+        n_scales = len(self.irreps_emb)
+        emb = [Irreps(i) for i in self.irreps_emb]
+        f = pcd.f
+        if self.irreps_input is not None:
+            f = IrrepsLinear(Irreps(self.irreps_input), emb[0], name="input_emb")(f)
+        points = FeaturedPoints(x=pcd.x, f=f, mask=pcd.mask, w=pcd.w)
+
+        stack: List[FeaturedPoints] = [points]
+        scale_points: List[FeaturedPoints] = []
+        scale_edges: List[GraphEdges] = []
+        pool_sources: List[FeaturedPoints] = [] # finer-cloud input of each pool step
+
+        for n in range(n_scales):
+            irreps_prev = emb[max(n - 1, 0)]
+            src = points
+            # ---- FPS pool ----
+            m = max(1, math.ceil(self.pool_ratio[n] * src.n))
+            if self.deterministic_fps:
+                start = None
+            else:
+                key = self.make_rng("fps")
+                nv = jnp.maximum(jnp.sum(src.mask.astype(jnp.int32)), 1)
+                rank = jax.random.randint(key, (), 0, src.n) % nv
+                order = jnp.argsort(~src.mask)  # valid first
+                start = order[rank].astype(jnp.int32)
+            fps_idx, fps_valid = farthest_point_sampling(src.x, m, mask=src.mask, start_idx=start)
+            dst = FeaturedPoints(
+                x=src.x[fps_idx],
+                f=ProjectIfMismatch(irreps_prev, emb[n], name=f"pool_proj_{n}")(src.f[fps_idx]),
+                mask=fps_valid,
+            )
+            pool_edges = _edges(
+                src, dst, self.radii[n], min(self.k_pool[n], src.n),
+                Irreps(self.irreps_edge_attr[n]), exclude_src_idx=fps_idx,
+            )
+            pool_sources.append((src, fps_idx))
+            points = _ScaleLayer(
+                irreps_src=irreps_prev,
+                irreps_dst=emb[n],
+                irreps_sh=Irreps(self.irreps_edge_attr[n]),
+                num_heads=self.num_heads[n],
+                fc_neurons=tuple(self.fc_neurons[n]),
+                radius=self.radii[n],
+                irreps_mlp_mid=self.irreps_mlp_mid,
+                alpha_drop=self.alpha_drop,
+                name=f"pool_layer_{n}",
+            )(src, dst, pool_edges, deterministic=deterministic)
+            stack.append(points)
+
+            # ---- self radius-graph layers ----
+            self_edges = _edges(points, points, self.radii[n], min(self.k_self[n], points.n), Irreps(self.irreps_edge_attr[n]), exclude_diagonal=True)
+            for i in range(self.n_layers[n] - 1):
+                points = _ScaleLayer(
+                    irreps_src=emb[n],
+                    irreps_dst=emb[n],
+                    irreps_sh=Irreps(self.irreps_edge_attr[n]),
+                    num_heads=self.num_heads[n],
+                    fc_neurons=tuple(self.fc_neurons[n]),
+                    radius=self.radii[n],
+                    irreps_mlp_mid=self.irreps_mlp_mid,
+                    alpha_drop=self.alpha_drop,
+                    name=f"self_layer_{n}_{i}",
+                )(points, points, self_edges, deterministic=deterministic)
+                stack.append(points)
+            scale_points.append(points)
+            scale_edges.append(self_edges)
+
+        return points, stack, scale_points, scale_edges, pool_sources
+
+
+class ForwardOnlyFeatureExtractor(nn.Module):
+    """Down path only; per-scale projected outputs
+    (``forward_only_feature_extractor.py:19-275``)."""
+
+    irreps_input: Optional[Irreps]
+    irreps_output: Irreps
+    irreps_emb: Sequence[Irreps]
+    irreps_edge_attr: Sequence[Irreps]
+    num_heads: Sequence[int]
+    fc_neurons: Sequence[Sequence[int]]
+    n_layers: Sequence[int]
+    pool_ratio: Sequence[float]
+    radius: Sequence[Optional[float]]
+    k_pool: Sequence[int] = (24, 24, 24, 24)
+    k_self: Sequence[int] = (32, 32, 32, 32)
+    irreps_mlp_mid: int = 3
+    alpha_drop: float = 0.1
+    deterministic_fps: bool = True
+
+    @nn.compact
+    def __call__(self, pcd: FeaturedPoints, deterministic: bool = True) -> List[FeaturedPoints]:
+        radii = resolve_radii(self.radius, self.pool_ratio)
+        _, _, scale_points, _, _ = _DownPath(
+            irreps_input=self.irreps_input,
+            irreps_emb=tuple(Irreps(i) for i in self.irreps_emb),
+            irreps_edge_attr=tuple(Irreps(i) for i in self.irreps_edge_attr),
+            num_heads=tuple(self.num_heads),
+            fc_neurons=tuple(tuple(f) for f in self.fc_neurons),
+            n_layers=tuple(self.n_layers),
+            pool_ratio=tuple(self.pool_ratio),
+            radii=tuple(radii),
+            k_pool=tuple(self.k_pool),
+            k_self=tuple(self.k_self),
+            irreps_mlp_mid=self.irreps_mlp_mid,
+            alpha_drop=self.alpha_drop,
+            deterministic_fps=self.deterministic_fps,
+            name="down",
+        )(pcd, deterministic=deterministic)
+        outs = []
+        for n, pts in enumerate(scale_points):
+            f = ProjectIfMismatch(Irreps(self.irreps_emb[n]), Irreps(self.irreps_output), name=f"project_out_{n}")(pts.f)
+            outs.append(FeaturedPoints(x=pts.x, f=f, mask=pts.mask))
+        return outs
+
+
+class UnetFeatureExtractor(nn.Module):
+    """Full UNet with mid block and up path (``unet_feature_extractor.py``)."""
+
+    irreps_input: Optional[Irreps]
+    irreps_output: Irreps
+    irreps_emb: Sequence[Irreps]
+    irreps_edge_attr: Sequence[Irreps]
+    num_heads: Sequence[int]
+    fc_neurons: Sequence[Sequence[int]]
+    n_layers: Sequence[int]
+    pool_ratio: Sequence[float]
+    radius: Sequence[Optional[float]]
+    n_layers_midstream: int = 2
+    k_pool: Sequence[int] = (24, 24, 24, 24)
+    k_self: Sequence[int] = (32, 32, 32, 32)
+    k_up: Sequence[int] = (12, 12, 12, 12)
+    irreps_mlp_mid: int = 3
+    alpha_drop: float = 0.1
+    deterministic_fps: bool = True
+
+    @nn.compact
+    def __call__(self, pcd: FeaturedPoints, deterministic: bool = True) -> List[FeaturedPoints]:
+        n_scales = len(self.irreps_emb)
+        emb = [Irreps(i) for i in self.irreps_emb]
+        radii = resolve_radii(self.radius, self.pool_ratio)
+        points, stack, scale_points, scale_edges, pool_sources = _DownPath(
+            irreps_input=self.irreps_input,
+            irreps_emb=tuple(emb),
+            irreps_edge_attr=tuple(Irreps(i) for i in self.irreps_edge_attr),
+            num_heads=tuple(self.num_heads),
+            fc_neurons=tuple(tuple(f) for f in self.fc_neurons),
+            n_layers=tuple(self.n_layers),
+            pool_ratio=tuple(self.pool_ratio),
+            radii=tuple(radii),
+            k_pool=tuple(self.k_pool),
+            k_self=tuple(self.k_self),
+            irreps_mlp_mid=self.irreps_mlp_mid,
+            alpha_drop=self.alpha_drop,
+            deterministic_fps=self.deterministic_fps,
+            name="down",
+        )(pcd, deterministic=deterministic)
+
+        inv_sqrt3 = 1.0 / math.sqrt(3.0)
+
+        # ---- mid block on the coarsest scale ----
+        mid_edges = scale_edges[-1]
+        for i in range(self.n_layers_midstream):
+            points = _ScaleLayer(
+                irreps_src=emb[-1],
+                irreps_dst=emb[-1],
+                irreps_sh=Irreps(self.irreps_edge_attr[-1]),
+                num_heads=self.num_heads[-1],
+                fc_neurons=tuple(self.fc_neurons[-1]),
+                radius=radii[-1],
+                irreps_mlp_mid=self.irreps_mlp_mid,
+                alpha_drop=self.alpha_drop,
+                name=f"mid_layer_{i}",
+            )(points, points, mid_edges, deterministic=deterministic)
+
+        # skip around the mid block (``unet_feature_extractor.py:346-347``)
+        top = stack.pop()
+        points = points.replace(f=(points.f + top.f) * inv_sqrt3)
+
+        # ---- up path ----
+        upstream_outputs: List[FeaturedPoints] = []
+        for n in range(n_scales - 1, -1, -1):
+            for i in range(self.n_layers[n] - 1):
+                dst_saved = stack.pop()
+                dst = dst_saved.replace(f=(points.f + dst_saved.f) * inv_sqrt3)
+                points = _ScaleLayer(
+                    irreps_src=emb[n],
+                    irreps_dst=emb[n],
+                    irreps_sh=Irreps(self.irreps_edge_attr[n]),
+                    num_heads=self.num_heads[n],
+                    fc_neurons=tuple(self.fc_neurons[n]),
+                    radius=radii[n],
+                    irreps_mlp_mid=self.irreps_mlp_mid,
+                    alpha_drop=self.alpha_drop,
+                    name=f"up_self_layer_{n}_{i}",
+                )(points, dst, scale_edges[n], deterministic=deterministic)
+            upstream_outputs.append(points)
+
+            # unpool down the hierarchy (skipped at the finest scale)
+            dst_saved = stack.pop()
+            if n > 0:
+                fine, fps_idx_n = pool_sources[n]
+                # reversed pool edges: coarse -> fine; recomputed SH of the
+                # negated edge vector == ParityInversionSh of the down edges.
+                up_edges = _edges(
+                    points, fine, radii[n], min(self.k_up[n], points.n),
+                    Irreps(self.irreps_edge_attr[n]), exclude_src_owner=fps_idx_n,
+                )
+                dst = FeaturedPoints(x=fine.x, f=dst_saved.f, mask=fine.mask, w=fine.w)
+                points = _ScaleLayer(
+                    irreps_src=emb[n],
+                    irreps_dst=emb[max(n - 1, 0)],
+                    irreps_sh=Irreps(self.irreps_edge_attr[n]),
+                    num_heads=self.num_heads[n],
+                    fc_neurons=tuple(self.fc_neurons[n]),
+                    radius=radii[n],
+                    irreps_mlp_mid=self.irreps_mlp_mid,
+                    alpha_drop=self.alpha_drop,
+                    irreps_head=multiply_irreps(emb[max(n - 1, 0)], 1.0 / self.num_heads[n], strict=True),
+                    name=f"unpool_layer_{n}",
+                )(points, dst, up_edges, deterministic=deterministic)
+
+        upstream_outputs = upstream_outputs[::-1]
+        outs = []
+        for n, pts in enumerate(upstream_outputs):
+            f = ProjectIfMismatch(emb[n], Irreps(self.irreps_output), name=f"project_out_{n}")(pts.f)
+            outs.append(FeaturedPoints(x=pts.x, f=f, mask=pts.mask))
+        return outs

@@ -1,0 +1,135 @@
+"""Query-side models: static gripper keypoints and the learned keypoint
+extractor (feature extractor + FPS query selection + tensor/weight fields).
+
+Reference: ``/root/reference/diffusion_edf/keypoint_extractor.py``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.irreps import Irreps
+from ..ops.neighbors import farthest_point_sampling
+from .data import FeaturedPoints
+from .extractor import ForwardOnlyFeatureExtractor, UnetFeatureExtractor
+from .tensor_field import MultiscaleTensorField
+
+__all__ = ["StaticKeypointModel", "KeypointExtractor"]
+
+
+class StaticKeypointModel(nn.Module):
+    """Learned features/weights at fixed gripper coordinates
+    (``keypoint_extractor.py:22-47``; e.g. two finger keypoints,
+    ``configs/panda_mug/pick_lowres/score_model_configs.yaml:76-81``)."""
+
+    keypoint_coords: Tuple[Tuple[float, float, float], ...]
+    irreps_output: Irreps
+
+    @nn.compact
+    def __call__(self, input_points: FeaturedPoints, deterministic: bool = True) -> FeaturedPoints:
+        irreps = Irreps(self.irreps_output)
+        n = len(self.keypoint_coords)
+        coords = jnp.asarray(np.asarray(self.keypoint_coords, dtype=np.float32))
+        feats = self.param("keypoint_features", nn.initializers.normal(1.0), (n, irreps.dim))
+        weights = self.param("keypoint_weights", nn.initializers.normal(1.0), (n,))
+        return FeaturedPoints(
+            x=coords.astype(input_points.x.dtype),
+            f=feats.astype(input_points.f.dtype),
+            mask=jnp.ones((n,), dtype=bool),
+            w=jax.nn.sigmoid(weights).astype(input_points.x.dtype),
+        )
+
+
+class KeypointExtractor(nn.Module):
+    """Feature extractor + FPS-selected query points + feature/weight tensor
+    fields (``keypoint_extractor.py:50-197``)."""
+
+    feature_extractor_kwargs: Dict
+    tensor_field_kwargs: Dict
+    keypoint_kwargs: Dict  # pool_ratio, weight_pre_emb_dim, optional bbox
+    feature_extractor_name: str = "UnetFeatureExtractor"
+    weight_activation: str = "sigmoid"
+    weight_mult: Optional[float] = None
+    deterministic_fps: bool = True
+
+    def _extractor(self):
+        kwargs = dict(self.feature_extractor_kwargs)
+        kwargs["deterministic_fps"] = self.deterministic_fps
+        if self.feature_extractor_name == "UnetFeatureExtractor":
+            return UnetFeatureExtractor(**kwargs, name="feature_extractor")
+        if self.feature_extractor_name == "ForwardOnlyFeatureExtractor":
+            return ForwardOnlyFeatureExtractor(**kwargs, name="feature_extractor")
+        raise ValueError(self.feature_extractor_name)
+
+    def _fields(self):
+        tf_kwargs = dict(self.tensor_field_kwargs)
+        tf_kwargs["irreps_input"] = self.feature_extractor_kwargs["irreps_output"]
+        tf_kwargs["irreps_query"] = None
+        tf_kwargs["edge_context_emb_dim"] = None
+        weight_pre_emb_dim = self.keypoint_kwargs.get("weight_pre_emb_dim")
+        if not weight_pre_emb_dim:
+            weight_pre_emb_dim = Irreps(self.feature_extractor_kwargs["irreps_output"]).mul_0
+        wf_kwargs = dict(tf_kwargs)
+        wf_kwargs["irreps_output"] = Irreps(f"{weight_pre_emb_dim}x0e")
+        field = MultiscaleTensorField(**tf_kwargs, name="tensor_field")
+        wfield = MultiscaleTensorField(**wf_kwargs, name="weight_field")
+        return field, wfield, weight_pre_emb_dim
+
+    def init_query_points(self, src_points: FeaturedPoints, rng=None) -> FeaturedPoints:
+        """FPS query selection with optional bbox crop
+        (``keypoint_extractor.py:133-176``); bbox crop is a mask update (static
+        shapes)."""
+        mask = src_points.mask
+        bbox = self.keypoint_kwargs.get("bbox")
+        if bbox is not None:
+            b = jnp.asarray(np.asarray(bbox, dtype=np.float32))  # (3, 2)
+            inrange = jnp.all((src_points.x >= b[:, 0]) & (src_points.x <= b[:, 1]), axis=-1)
+            mask = mask & inrange
+        m = max(1, math.ceil(float(self.keypoint_kwargs["pool_ratio"]) * src_points.n))
+        start = None
+        if rng is not None:
+            nv = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+            rank = jax.random.randint(rng, (), 0, src_points.n) % nv
+            order = jnp.argsort(~mask)
+            start = order[rank].astype(jnp.int32)
+        idx, valid = farthest_point_sampling(src_points.x, m, mask=mask, start_idx=start)
+        return FeaturedPoints(
+            x=src_points.x[idx],
+            f=jnp.zeros((m, Irreps(self.tensor_field_kwargs["irreps_output"]).dim), src_points.f.dtype),
+            mask=valid,
+        )
+
+    @nn.compact
+    def __call__(self, input_points: FeaturedPoints, deterministic: bool = True) -> FeaturedPoints:
+        feats_multiscale: List[FeaturedPoints] = self._extractor()(
+            input_points, deterministic=deterministic
+        )
+        rng = None if self.deterministic_fps else self.make_rng("fps")
+        query_points = self.init_query_points(input_points, rng=rng)
+
+        field, wfield, weight_pre_emb_dim = self._fields()
+        out = field(query_points, feats_multiscale, context_emb=None, deterministic=deterministic)
+        w_emb = wfield(query_points, feats_multiscale, context_emb=None, deterministic=deterministic).f
+        h = nn.LayerNorm(name="weight_ln")(w_emb)
+        h = jax.nn.silu(h)
+        h = nn.Dense(1, name="weight_dense")(h)
+        w = h.squeeze(-1)
+        if self.weight_activation == "sigmoid":
+            w = jax.nn.sigmoid(w)
+        elif self.weight_activation == "softmax":
+            w = jnp.where(query_points.mask, w, -jnp.inf)
+            w = jax.nn.softmax(w, axis=-1)
+        if self.weight_mult is not None:
+            mult_logit = self.param(
+                "weight_mult_logit",
+                nn.initializers.constant(math.log(math.exp(float(self.weight_mult)) - 1.0)),
+                (),
+            )
+            w = w * jax.nn.softplus(mult_logit)
+        w = jnp.where(query_points.mask, w, 0.0)
+        return FeaturedPoints(x=out.x, f=out.f, mask=out.mask, w=w)

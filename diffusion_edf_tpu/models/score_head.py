@@ -1,0 +1,276 @@
+"""SE(3) bi-equivariant score heads (denoising + EBM critic).
+
+Reference: ``/root/reference/diffusion_edf/score_head.py`` (ScoreModelHead)
+and ``score_head_ebm.py`` (EbmScoreModelHead).
+
+Dataflow per pose batch (nT poses x nQ query points):
+  1. time encoding -> per-scale time MLPs (edge conditioning) and/or query
+     time MLP (query-feature conditioning);
+  2. query cloud transformed by every pose: positions by SE(3), irreps
+     features by on-device Wigner-D (bi-equivariance mechanism, replacing
+     ``TransformFeatureQuaternion``, ``wigner.py:232-283``);
+  3. key multiscale tensor field evaluated at the nT*nQ transformed points;
+  4. two SeparableFCTPs combine field features with transformed query
+     features -> n x 1e prescore vectors -> mean -> 3-vectors
+     (``score_head.py:192-199``);
+  5. frame change to body frame, orbital term, query-weighted sums
+     (``score_head.py:201-209``).
+
+The EBM head computes a query-weighted squared feature distance as energy and
+takes the score by ``jax.grad`` — idiomatic JAX replacing the reference's
+autograd plumbing (``score_head_ebm.py:203-217``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geom import so3, wigner
+from ..geom.irreps import Irreps
+from ..nn.radial import SinusoidalPositionEmbeddings
+from ..nn.tp_modules import SeparableFCTP
+from .data import FeaturedPoints
+from .tensor_field import MultiscaleTensorField
+
+__all__ = ["ScoreModelHead", "EbmScoreModelHead", "QUAT_L_INDICES", "QUAT_L_FACTOR"]
+
+# L-matrix mapping body-frame angular displacement -> quaternion delta
+# (``score_model_base.py:31-32``): dq = L(q) @ ang,  L[i,a] = q[q_idx[i,a]] * q_fac[i,a]
+QUAT_L_INDICES = ((1, 2, 3), (0, 3, 2), (3, 0, 1), (2, 1, 0))
+QUAT_L_FACTOR = ((-0.5, -0.5, -0.5), (0.5, -0.5, 0.5), (0.5, 0.5, -0.5), (-0.5, 0.5, 0.5))
+
+
+def quat_L(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) -> (..., 4, 3) with dq = L @ ang_disp."""
+    idx = jnp.asarray(QUAT_L_INDICES)
+    fac = jnp.asarray(QUAT_L_FACTOR, dtype=q.dtype)
+    return q[..., idx] * fac
+
+
+class _TimeMLP(nn.Module):
+    dims: Sequence[int]  # time_emb_mlp[1:]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"dense{i}")(x)
+            if i != len(self.dims) - 1:
+                x = jax.nn.silu(x)
+        return x
+
+
+class ScoreModelHead(nn.Module):
+    max_time: float
+    time_emb_mlp: Sequence[int]
+    key_tensor_field_kwargs: Dict
+    irreps_query_edf: Irreps
+    lin_mult: float
+    ang_mult: float
+    time_enc_n: float = 10000.0
+    edge_time_encoding: bool = True
+    query_time_encoding: bool = False
+
+    @property
+    def n_scales(self) -> int:
+        return len(self.key_tensor_field_kwargs["r_cluster_multiscale"])
+
+    def _field(self) -> MultiscaleTensorField:
+        kwargs = dict(self.key_tensor_field_kwargs)
+        assert "irreps_query" not in kwargs and "edge_context_emb_dim" not in kwargs
+        kwargs["irreps_query"] = (
+            Irreps(f"{self.time_emb_mlp[-1]}x0e") if self.query_time_encoding else None
+        )
+        kwargs["edge_context_emb_dim"] = self.time_emb_mlp[-1] if self.edge_time_encoding else None
+        return MultiscaleTensorField(**kwargs, name="key_tensor_field")
+
+    @nn.compact
+    def __call__(
+        self,
+        Ts: jnp.ndarray,  # (nT, 7)
+        key_pcd_multiscale: List[FeaturedPoints],
+        query_pcd: FeaturedPoints,
+        time: jnp.ndarray,  # (nT,)
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        assert Ts.ndim == 2 and Ts.shape[-1] == 7
+        nT = Ts.shape[0]
+        nQ = query_pcd.n
+        irreps_query = Irreps(self.irreps_query_edf)
+        field = self._field()
+        irreps_key = Irreps(self.key_tensor_field_kwargs["irreps_output"])
+        time_emb_dim = self.time_emb_mlp[-1]
+
+        time_enc = SinusoidalPositionEmbeddings(
+            dim=self.time_emb_mlp[0], max_val=self.max_time, n=self.time_enc_n, name="time_enc"
+        )(time)  # (nT, D0)
+
+        # ---- transform query cloud by all poses ----
+        q, trans = Ts[..., :4], Ts[..., 4:]
+        x_t = so3.transform_points(query_pcd.x, Ts)  # (nT, nQ, 3)
+        f_t = wigner.rotate_irreps(irreps_query, query_pcd.f, q)  # (nT, nQ, Fq)
+
+        if self.query_time_encoding:
+            qt = _TimeMLP(tuple(self.time_emb_mlp[1:]), name="query_time_mlp")(time_enc)
+            dst_f = jnp.broadcast_to(qt[:, None, :], (nT, nQ, time_emb_dim))
+        else:
+            dst_f = jnp.zeros((nT, nQ, 0), dtype=Ts.dtype)
+
+        query_flat = FeaturedPoints(
+            x=x_t.reshape(nT * nQ, 3),
+            f=dst_f.reshape(nT * nQ, -1),
+            mask=jnp.broadcast_to(query_pcd.mask[None, :], (nT, nQ)).reshape(-1),
+        )
+
+        if self.edge_time_encoding:
+            ctx = []
+            for n in range(self.n_scales):
+                te = _TimeMLP(tuple(self.time_emb_mlp[1:]), name=f"time_mlp_{n}")(time_enc)
+                ctx.append(
+                    jnp.broadcast_to(te[:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
+                )
+        else:
+            ctx = None
+
+        key_features = field(
+            query_flat, key_pcd_multiscale, context_emb=ctx, deterministic=deterministic
+        ).f  # (nT*nQ, Fk)
+        f_t_flat = f_t.reshape(nT * nQ, -1)
+
+        # ---- prescore tensor products ----
+        n_pre = (irreps_query.count((1, 1)) + irreps_key.count((1, 1))) // 2
+        irreps_pre = Irreps(f"1x0e+{n_pre}x1e")
+        lin_vel = SeparableFCTP(
+            irreps_in=irreps_key,
+            irreps_edge=irreps_query,
+            irreps_out=irreps_pre,
+            fc_neurons=None,
+            use_activation=True,
+            internal_weights=True,
+            name="lin_vel_tp",
+        )(key_features, f_t_flat)[..., 1:]
+        ang_spin = SeparableFCTP(
+            irreps_in=irreps_key,
+            irreps_edge=irreps_query,
+            irreps_out=irreps_pre,
+            fc_neurons=None,
+            use_activation=True,
+            internal_weights=True,
+            name="ang_vel_tp",
+        )(key_features, f_t_flat)[..., 1:]
+
+        lin_vel = lin_vel.reshape(nT, nQ, n_pre, 3).mean(axis=-2)  # (nT, nQ, 3)
+        ang_spin = ang_spin.reshape(nT, nQ, n_pre, 3).mean(axis=-2)
+
+        qinv = so3.quaternion_invert(q)[:, None, :]  # (nT, 1, 4)
+        lin_vel = so3.quaternion_apply(qinv, lin_vel)
+        ang_spin = so3.quaternion_apply(qinv, ang_spin)
+        ang_orbital = jnp.cross(query_pcd.x[None, :, :] / self.lin_mult, lin_vel)
+
+        qw = jnp.where(query_pcd.mask, query_pcd.w, 0.0)
+        lin = jnp.einsum("q,tqi->ti", qw, lin_vel)
+        ang = jnp.einsum("q,tqi->ti", qw, ang_orbital + ang_spin)
+        return ang, lin
+
+
+class EbmScoreModelHead(nn.Module):
+    """Energy-based critic head (``score_head_ebm.py:18-222``)."""
+
+    max_time: float
+    time_emb_mlp: Sequence[int]
+    key_tensor_field_kwargs: Dict
+    irreps_query_edf: Irreps
+    lin_mult: float
+    ang_mult: float
+    time_enc_n: float = 10000.0
+    edge_time_encoding: bool = False
+    query_time_encoding: bool = True
+
+    @property
+    def n_scales(self) -> int:
+        return len(self.key_tensor_field_kwargs["r_cluster_multiscale"])
+
+    def _field(self) -> MultiscaleTensorField:
+        kwargs = dict(self.key_tensor_field_kwargs)
+        kwargs["irreps_query"] = (
+            Irreps(f"{self.time_emb_mlp[-1]}x0e") if self.query_time_encoding else None
+        )
+        kwargs["edge_context_emb_dim"] = self.time_emb_mlp[-1] if self.edge_time_encoding else None
+        return MultiscaleTensorField(**kwargs, name="key_tensor_field")
+
+    @nn.compact
+    def __call__(
+        self,
+        Ts: jnp.ndarray,
+        key_pcd_multiscale: List[FeaturedPoints],
+        query_pcd: FeaturedPoints,
+        time: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Returns per-pose energies (nT,) (``compute_energy``,
+        ``score_head_ebm.py:122-174``).  Use :func:`ebm_score` for the score."""
+        nT = Ts.shape[0]
+        nQ = query_pcd.n
+        irreps_query = Irreps(self.irreps_query_edf)
+        irreps_key = Irreps(self.key_tensor_field_kwargs["irreps_output"])
+        time_emb_dim = self.time_emb_mlp[-1]
+
+        time_enc = SinusoidalPositionEmbeddings(
+            dim=self.time_emb_mlp[0], max_val=self.max_time, n=self.time_enc_n, name="time_enc"
+        )(time)
+
+        q = Ts[..., :4]
+        x_t = so3.transform_points(query_pcd.x, Ts)
+        f_t = wigner.rotate_irreps(irreps_query, query_pcd.f, q)
+
+        if self.query_time_encoding:
+            qt = _TimeMLP(tuple(self.time_emb_mlp[1:]), name="query_time_mlp")(time_enc)
+            dst_f = jnp.broadcast_to(qt[:, None, :], (nT, nQ, time_emb_dim))
+        else:
+            dst_f = jnp.zeros((nT, nQ, 0), dtype=Ts.dtype)
+
+        query_flat = FeaturedPoints(
+            x=x_t.reshape(nT * nQ, 3),
+            f=dst_f.reshape(nT * nQ, -1),
+            mask=jnp.broadcast_to(query_pcd.mask[None, :], (nT, nQ)).reshape(-1),
+        )
+        if self.edge_time_encoding:
+            ctx = []
+            for n in range(self.n_scales):
+                te = _TimeMLP(tuple(self.time_emb_mlp[1:]), name=f"time_mlp_{n}")(time_enc)
+                ctx.append(
+                    jnp.broadcast_to(te[:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
+                )
+        else:
+            ctx = None
+
+        key_features = self._field()(
+            query_flat, key_pcd_multiscale, context_emb=ctx, deterministic=deterministic
+        ).f
+        diff2 = jnp.sum(jnp.square(key_features - f_t.reshape(nT * nQ, -1)), axis=-1)
+        diff2 = diff2 * (1.0 / irreps_key.dim)
+        qw = jnp.where(query_pcd.mask, query_pcd.w, 0.0)
+        return jnp.einsum("q,tq->t", qw, diff2.reshape(nT, nQ))
+
+
+def ebm_score(
+    apply_energy,
+    Ts: jnp.ndarray,
+    *args,
+    ang_mult: float,
+    lin_mult: float,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ang, lin) score of an EBM head: gradients of -E mapped through the
+    quaternion L-matrix / body frame (``score_head_ebm.py:192-222``)."""
+
+    def neg_e(T):
+        return -jnp.sum(apply_energy(T, *args, **kwargs))
+
+    grad = jax.grad(neg_e)(Ts)  # (nT, 7)
+    L = quat_L(Ts[..., :4])
+    ang = jnp.einsum("...ia,...i->...a", L, grad[..., :4]) * ang_mult
+    lin = so3.quaternion_apply(so3.quaternion_invert(Ts[..., :4]), grad[..., 4:]) * lin_mult
+    return ang, lin

@@ -1,0 +1,209 @@
+"""Score model assemblies and the training loss.
+
+Reference: ``/root/reference/diffusion_edf/score_model_base.py`` (base:
+``get_train_loss:41-107``), ``multiscale_score_model.py`` and
+``point_attentive_score_model.py`` (assemblies).  Sampling lives in
+:mod:`..diffusion.langevin` as a ``lax.scan`` rollout.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geom.irreps import Irreps
+from .data import FeaturedPoints
+from .extractor import ForwardOnlyFeatureExtractor, UnetFeatureExtractor
+from .keypoint import KeypointExtractor, StaticKeypointModel
+from .score_head import EbmScoreModelHead, ScoreModelHead, ebm_score
+
+__all__ = ["MultiscaleScoreModel", "PointAttentiveScoreModel", "train_loss"]
+
+
+def _build_query(query_model: str, query_kwargs: Dict, deterministic_fps: bool):
+    if query_model == "StaticKeypointModel":
+        kw = dict(query_kwargs)
+        kw["keypoint_coords"] = tuple(tuple(c) for c in kw["keypoint_coords"])
+        return StaticKeypointModel(**kw, name="query_model")
+    if query_model == "KeypointExtractor":
+        return KeypointExtractor(
+            **query_kwargs, deterministic_fps=deterministic_fps, name="query_model"
+        )
+    raise ValueError(query_model)
+
+
+def _build_head(score_head_kwargs: Dict, irreps_input: Irreps, irreps_query: Irreps, use_src_point_attn: bool):
+    kw = dict(score_head_kwargs)
+    tf = dict(kw.pop("key_tensor_field_kwargs"))
+    assert "irreps_input" not in tf
+    tf["irreps_input"] = irreps_input
+    tf["use_src_point_attn"] = use_src_point_attn
+    use_ebm = bool(kw.pop("ebm", False))
+    cls = EbmScoreModelHead if use_ebm else ScoreModelHead
+    head = cls(
+        max_time=float(kw.pop("max_time")),
+        time_emb_mlp=tuple(kw.pop("time_emb_mlp")),
+        key_tensor_field_kwargs=tf,
+        irreps_query_edf=Irreps(irreps_query),
+        lin_mult=float(kw.pop("lin_mult")),
+        ang_mult=float(kw.pop("ang_mult")),
+        edge_time_encoding=bool(kw.pop("edge_time_encoding")),
+        query_time_encoding=bool(kw.pop("query_time_encoding")),
+        name="score_head",
+    )
+    assert not kw, f"Unconsumed score_head_kwargs: {kw}"
+    return head, use_ebm
+
+
+class MultiscaleScoreModel(nn.Module):
+    """key = UNet/ForwardOnly extractor, query = Static/Keypoint model,
+    head = score or EBM (``multiscale_score_model.py:24-119``)."""
+
+    query_model: str
+    score_head_kwargs: Dict
+    key_kwargs: Dict
+    query_kwargs: Dict
+    deterministic_fps: bool = True
+
+    def setup(self):
+        fe_name = self.key_kwargs["feature_extractor_name"]
+        fe_kwargs = dict(self.key_kwargs["feature_extractor_kwargs"])
+        fe_kwargs["deterministic_fps"] = self.deterministic_fps
+        if fe_name == "UnetFeatureExtractor":
+            self.key_model = UnetFeatureExtractor(**fe_kwargs, name="key_model")
+        elif fe_name == "ForwardOnlyFeatureExtractor":
+            self.key_model = ForwardOnlyFeatureExtractor(**fe_kwargs, name="key_model")
+        else:
+            raise ValueError(fe_name)
+        self._query = _build_query(self.query_model, self.query_kwargs, self.deterministic_fps)
+        irreps_key_out = Irreps(fe_kwargs["irreps_output"])
+        if self.query_model == "StaticKeypointModel":
+            irreps_query_out = Irreps(self.query_kwargs["irreps_output"])
+        else:
+            irreps_query_out = Irreps(self.query_kwargs["tensor_field_kwargs"]["irreps_output"])
+        self.score_head, self.use_ebm = _build_head(
+            self.score_head_kwargs, irreps_key_out, irreps_query_out, use_src_point_attn=False
+        )
+
+    @property
+    def ang_mult(self) -> float:
+        return float(self.score_head_kwargs["ang_mult"])
+
+    @property
+    def lin_mult(self) -> float:
+        return float(self.score_head_kwargs["lin_mult"])
+
+    def get_key_pcd_multiscale(self, pcd: FeaturedPoints, deterministic: bool = True) -> List[FeaturedPoints]:
+        return self.key_model(pcd, deterministic=deterministic)
+
+    def get_query_pcd(self, pcd: FeaturedPoints, deterministic: bool = True) -> FeaturedPoints:
+        return self._query(pcd, deterministic=deterministic)
+
+    def score(self, Ts, key_pcd_multiscale, query_pcd, time, deterministic: bool = True):
+        if self.use_ebm:
+            return ebm_score(
+                lambda T: self.score_head(T, key_pcd_multiscale, query_pcd, time, deterministic=deterministic),
+                Ts,
+                ang_mult=self.ang_mult,
+                lin_mult=self.lin_mult,
+            )
+        return self.score_head(Ts, key_pcd_multiscale, query_pcd, time, deterministic=deterministic)
+
+    def energy(self, Ts, key_pcd_multiscale, query_pcd, time, deterministic: bool = True):
+        assert self.use_ebm
+        return self.score_head(Ts, key_pcd_multiscale, query_pcd, time, deterministic=deterministic)
+
+    def __call__(self, Ts, key_pcd, query_pcd, time, deterministic: bool = True):
+        key_ms = self.get_key_pcd_multiscale(key_pcd, deterministic=deterministic)
+        query = self.get_query_pcd(query_pcd, deterministic=deterministic)
+        return self.score(Ts, key_ms, query, time, deterministic=deterministic)
+
+
+class PointAttentiveScoreModel(nn.Module):
+    """key = KeypointExtractor with learned point-attention weights feeding
+    ``use_src_point_attn`` (``point_attentive_score_model.py:23-99``)."""
+
+    query_model: str
+    score_head_kwargs: Dict
+    key_kwargs: Dict
+    query_kwargs: Dict
+    deterministic_fps: bool = True
+
+    def setup(self):
+        self.key_model = KeypointExtractor(
+            **self.key_kwargs, deterministic_fps=self.deterministic_fps, name="key_model"
+        )
+        self._query = _build_query(self.query_model, self.query_kwargs, self.deterministic_fps)
+        irreps_key_out = Irreps(self.key_kwargs["tensor_field_kwargs"]["irreps_output"])
+        if self.query_model == "StaticKeypointModel":
+            irreps_query_out = Irreps(self.query_kwargs["irreps_output"])
+        else:
+            irreps_query_out = Irreps(self.query_kwargs["tensor_field_kwargs"]["irreps_output"])
+        self.score_head, self.use_ebm = _build_head(
+            self.score_head_kwargs, irreps_key_out, irreps_query_out, use_src_point_attn=True
+        )
+
+    @property
+    def ang_mult(self) -> float:
+        return float(self.score_head_kwargs["ang_mult"])
+
+    @property
+    def lin_mult(self) -> float:
+        return float(self.score_head_kwargs["lin_mult"])
+
+    def get_key_pcd_multiscale(self, pcd: FeaturedPoints, deterministic: bool = True) -> List[FeaturedPoints]:
+        return [self.key_model(pcd, deterministic=deterministic)]
+
+    def get_query_pcd(self, pcd: FeaturedPoints, deterministic: bool = True) -> FeaturedPoints:
+        return self._query(pcd, deterministic=deterministic)
+
+    def score(self, Ts, key_pcd_multiscale, query_pcd, time, deterministic: bool = True):
+        return self.score_head(Ts, key_pcd_multiscale, query_pcd, time, deterministic=deterministic)
+
+    def __call__(self, Ts, key_pcd, query_pcd, time, deterministic: bool = True):
+        key_ms = self.get_key_pcd_multiscale(key_pcd, deterministic=deterministic)
+        query = self.get_query_pcd(query_pcd, deterministic=deterministic)
+        return self.score(Ts, key_ms, query, time, deterministic=deterministic)
+
+
+def train_loss(
+    ang_score: jnp.ndarray,
+    lin_score: jnp.ndarray,
+    target_ang_score: jnp.ndarray,
+    target_lin_score: jnp.ndarray,
+    time: jnp.ndarray,
+    ang_mult: float,
+    lin_mult: float,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Denoising score matching loss + diagnostics
+    (``score_model_base.py:41-107``): targets are scaled by ``sqrt(t)*mult``
+    (making the regression target O(1) across noise levels)."""
+    t = jnp.sqrt(time)[..., None]
+    target_ang = target_ang_score * t * ang_mult
+    target_lin = target_lin_score * t * lin_mult
+    ang_loss = jnp.mean(jnp.sum(jnp.square(target_ang - ang_score), axis=-1))
+    lin_loss = jnp.mean(jnp.sum(jnp.square(target_lin - lin_score), axis=-1))
+    loss = ang_loss + lin_loss
+
+    def _safe_norm(x):
+        return jnp.linalg.norm(x + 1e-20, axis=-1)
+
+    tn_a, tn_l = _safe_norm(target_ang), _safe_norm(target_lin)
+    sn_a, sn_l = _safe_norm(ang_score), _safe_norm(lin_score)
+    dp_a = jnp.sum(ang_score * target_ang, axis=-1)
+    dp_l = jnp.sum(lin_score * target_lin, axis=-1)
+    stats = {
+        "loss/train": loss,
+        "loss/angular": ang_loss,
+        "loss/linear": lin_loss,
+        "norm/target_ang": jnp.mean(tn_a),
+        "norm/target_lin": jnp.mean(tn_l),
+        "norm/inferred_ang": jnp.mean(sn_a),
+        "norm/inferred_lin": jnp.mean(sn_l),
+        "alignment/unnormalized/ang": jnp.mean(dp_a),
+        "alignment/unnormalized/lin": jnp.mean(dp_l),
+        "alignment/normalized/ang": jnp.mean(dp_a / (tn_a * sn_a + 1e-12)),
+        "alignment/normalized/lin": jnp.mean(dp_l / (tn_l * sn_l + 1e-12)),
+    }
+    return loss, stats

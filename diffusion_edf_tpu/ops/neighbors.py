@@ -52,6 +52,8 @@ def radius_neighbors(
     dst_mask: Optional[jnp.ndarray] = None,
     exclude_self: bool = False,
     exclude_diagonal: bool = False,
+    exclude_src_idx: Optional[jnp.ndarray] = None,
+    exclude_src_owner: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bipartite fixed-radius search -> (idx (Nd, k), valid (Nd, k)).
 
@@ -70,7 +72,18 @@ def radius_neighbors(
     if src_mask is not None:
         bad |= ~src_mask[None, :]
     if exclude_self:
+        # NOTE: distance-based self exclusion is fp-fragile (the expanded-form
+        # d2 of identical points is catastrophic cancellation whose sign flips
+        # under rotation); prefer exclude_src_idx where the identity of the
+        # self point is known.
         bad |= d2 <= 0.0
+    if exclude_src_idx is not None:
+        # per-dst known self source: bad[i, j] = (j == exclude_src_idx[i])
+        bad |= jnp.arange(ns, dtype=exclude_src_idx.dtype)[None, :] == exclude_src_idx[:, None]
+    if exclude_src_owner is not None:
+        # per-src known self destination: bad[i, j] = (exclude_src_owner[j] == i)
+        nd = dst_x.shape[0]
+        bad |= exclude_src_owner[None, :] == jnp.arange(nd, dtype=exclude_src_owner.dtype)[:, None]
     if exclude_diagonal:
         assert dst_x.shape[0] == ns, "exclude_diagonal requires a square graph"
         bad |= jnp.eye(ns, dtype=bool)

@@ -1,0 +1,15 @@
+"""Training runtime: data pipeline, model factory, trainer, logging."""
+from .data import (  # noqa: F401
+    DemoDataset,
+    DemoSequence,
+    PointCloud,
+    TargetPoseDemo,
+    compose_proc_fn,
+    load_demo_sequence,
+    pad_pointcloud,
+    save_demo_sequence,
+)
+from .factory import build_score_model  # noqa: F401
+from .logging import JsonlLogger  # noqa: F401
+from .synthetic import make_synthetic_dataset, make_synthetic_demo  # noqa: F401
+from .trainer import DiffusionEdfTrainer, load_configs, make_optimizer  # noqa: F401

@@ -1,0 +1,294 @@
+"""Demo data containers, preprocessing pipeline and dataset loading.
+
+Native replacement for the reference's external ``edf_interface`` data package
+(SURVEY.md row N6; usage at ``train_utils.py:19-58``): array-based containers,
+numpy preprocessing ops matching the config registry names
+(``configs/panda_mug/pick_lowres/train_configs.yaml:19-56`` — ``downsample``,
+``randomize_hsl``, ``pos_jitter``, ``color_jitter``, ``rescale``,
+``crop_bbox``), a loader for the reference's on-disk demo layout
+(``demo/<task>/data/demo_N/step_K/{scene_pcd,grasp_pcd,target_poses}``), a
+native ``.npz`` format, and static-shape padding into
+:class:`~diffusion_edf_tpu.models.data.FeaturedPoints`.
+
+Preprocessing is host-side numpy (it runs once per demo per step, off the
+device critical path — same placement as the reference's CPU collate).
+"""
+from __future__ import annotations
+
+import colorsys
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import yaml
+
+from ..models.data import FeaturedPoints
+
+__all__ = [
+    "PointCloud",
+    "TargetPoseDemo",
+    "DemoSequence",
+    "PREPROCESS_REGISTRY",
+    "compose_proc_fn",
+    "pad_pointcloud",
+    "DemoDataset",
+    "load_demo_sequence",
+    "save_demo_sequence",
+]
+
+
+@dataclasses.dataclass
+class PointCloud:
+    points: np.ndarray  # (N, 3)
+    colors: np.ndarray  # (N, 3) in [0, 1]
+
+    def __post_init__(self):
+        self.points = np.asarray(self.points, dtype=np.float32)
+        self.colors = np.asarray(self.colors, dtype=np.float32)
+
+    @property
+    def n(self) -> int:
+        return len(self.points)
+
+
+@dataclasses.dataclass
+class TargetPoseDemo:
+    scene_pcd: PointCloud
+    grasp_pcd: PointCloud
+    target_poses: np.ndarray  # (nP, 7) (qw,qx,qy,qz,x,y,z)
+    name: str = ""
+
+    def __post_init__(self):
+        self.target_poses = np.asarray(self.target_poses, dtype=np.float32).reshape(-1, 7)
+
+
+@dataclasses.dataclass
+class DemoSequence:
+    """Ordered task steps; convention: step 0 = pick, step 1 = place
+    (``train_utils.py:48-58``)."""
+
+    steps: List[TargetPoseDemo]
+
+    def __getitem__(self, i: int) -> TargetPoseDemo:
+        return self.steps[i]
+
+    def __len__(self) -> int:
+        return len(self.steps)
+
+
+# --------------------------------------------------------------------------- #
+# Preprocessing ops (numpy; mirror edf_interface.data.preprocess semantics)
+# --------------------------------------------------------------------------- #
+def _voxel_downsample(pcd: PointCloud, voxel_size: float, coord_reduction: str = "average") -> PointCloud:
+    if pcd.n == 0:
+        return pcd
+    keys = np.floor(pcd.points / voxel_size).astype(np.int64)
+    # hash voxel coords
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    n_vox = counts.shape[0]
+    pts = np.zeros((n_vox, 3), dtype=np.float64)
+    cols = np.zeros((n_vox, 3), dtype=np.float64)
+    np.add.at(pts, inv, pcd.points)
+    np.add.at(cols, inv, pcd.colors)
+    pts /= counts[:, None]
+    cols /= counts[:, None]
+    if coord_reduction == "center":
+        uniq = np.unique(keys, axis=0)
+        pts = (uniq + 0.5) * voxel_size
+    return PointCloud(points=pts, colors=cols)
+
+
+def _rescale(pcd: PointCloud, rescale_factor: float) -> PointCloud:
+    return PointCloud(points=pcd.points * rescale_factor, colors=pcd.colors)
+
+
+def _pos_jitter(pcd: PointCloud, std: float, prob: float, rng: np.random.Generator) -> PointCloud:
+    if rng.uniform() > prob:
+        return pcd
+    return PointCloud(points=pcd.points + rng.normal(0, std, pcd.points.shape), colors=pcd.colors)
+
+
+def _color_jitter(pcd: PointCloud, std: float, prob: float, rng: np.random.Generator) -> PointCloud:
+    if rng.uniform() > prob:
+        return pcd
+    return PointCloud(
+        points=pcd.points, colors=np.clip(pcd.colors + rng.normal(0, std, pcd.colors.shape), 0, 1)
+    )
+
+
+def _randomize_hsl(
+    pcd: PointCloud, hrange: float, srange: float, lrange: float, prob: float, rng: np.random.Generator
+) -> PointCloud:
+    if rng.uniform() > prob:
+        return pcd
+    dh = rng.uniform(-hrange, hrange)
+    ds = rng.uniform(-srange, srange)
+    dl = rng.uniform(-lrange, lrange)
+    rgb = np.clip(pcd.colors, 0.0, 1.0)
+    out = np.empty_like(rgb)
+    for i in range(len(rgb)):
+        h, l, s = colorsys.rgb_to_hls(*rgb[i])
+        h = (h + dh) % 1.0
+        l = float(np.clip(l + dl, 0, 1))
+        s = float(np.clip(s + ds, 0, 1))
+        out[i] = colorsys.hls_to_rgb(h, l, s)
+    return PointCloud(points=pcd.points, colors=out)
+
+
+def _crop_bbox(pcd: PointCloud, bbox: Sequence[Sequence[float]]) -> PointCloud:
+    b = np.asarray(bbox, dtype=np.float32)  # (3, 2)
+    m = np.all((pcd.points >= b[:, 0]) & (pcd.points <= b[:, 1]), axis=-1)
+    return PointCloud(points=pcd.points[m], colors=pcd.colors[m])
+
+
+PREPROCESS_REGISTRY: Dict[str, Callable] = {
+    "downsample": _voxel_downsample,
+    "rescale": _rescale,
+    "pos_jitter": _pos_jitter,
+    "color_jitter": _color_jitter,
+    "randomize_hsl": _randomize_hsl,
+    "crop_bbox": _crop_bbox,
+}
+
+_RANDOM_OPS = {"pos_jitter", "color_jitter", "randomize_hsl"}
+
+
+def compose_proc_fn(preprocess_config: Sequence[Dict], seed: Optional[int] = None) -> Callable:
+    """Build a demo-level preprocessing function from the config list
+    (``train_utils.py:24-31``).  ``rescale`` also scales target poses'
+    translation (meters -> centimeters, ``README.md:81-100``); ``crop_bbox``
+    honours its ``targets`` kwarg."""
+    rng = np.random.default_rng(seed)
+
+    def proc(demo: TargetPoseDemo) -> TargetPoseDemo:
+        scene, grasp = demo.scene_pcd, demo.grasp_pcd
+        poses = demo.target_poses.copy()
+        for op in preprocess_config:
+            name, kwargs = op["name"], dict(op.get("kwargs", {}))
+            fn = PREPROCESS_REGISTRY[name]
+            targets = kwargs.pop("targets", None)
+            extra = {"rng": rng} if name in _RANDOM_OPS else {}
+            if name == "rescale":
+                factor = float(kwargs["rescale_factor"])
+                scene = fn(scene, **kwargs)
+                grasp = fn(grasp, **kwargs)
+                poses = np.concatenate([poses[:, :4], poses[:, 4:] * factor], axis=-1)
+                continue
+            if targets is None or "scene_pcd" in targets:
+                scene = fn(scene, **kwargs, **extra)
+            if targets is None or "grasp_pcd" in targets:
+                grasp = fn(grasp, **kwargs, **extra)
+        return TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=poses, name=demo.name)
+
+    return proc
+
+
+# --------------------------------------------------------------------------- #
+# Padding into device-ready FeaturedPoints
+# --------------------------------------------------------------------------- #
+def pad_pointcloud(pcd: PointCloud, n_pad: int, dtype=np.float32) -> FeaturedPoints:
+    """Pad/truncate to exactly ``n_pad`` points with validity mask.
+
+    Truncation keeps a deterministic uniform subsample (stride pick) if the
+    cloud exceeds the budget."""
+    import jax.numpy as jnp
+
+    n = pcd.n
+    pts, cols = pcd.points, pcd.colors
+    if n > n_pad:
+        idx = np.linspace(0, n - 1, n_pad).round().astype(np.int64)
+        pts, cols, n = pts[idx], cols[idx], n_pad
+    x = np.zeros((n_pad, 3), dtype=dtype)
+    f = np.zeros((n_pad, 3), dtype=dtype)
+    x[:n] = pts
+    # park padded points far away so radius searches never see them even
+    # without masks
+    x[n:] = 1e6
+    f[:n] = cols
+    mask = np.zeros((n_pad,), dtype=bool)
+    mask[:n] = True
+    return FeaturedPoints(x=jnp.asarray(x), f=jnp.asarray(f), mask=jnp.asarray(mask))
+
+
+# --------------------------------------------------------------------------- #
+# On-disk formats
+# --------------------------------------------------------------------------- #
+def _load_pt_tensor(path: str) -> np.ndarray:
+    import torch
+
+    return np.asarray(torch.load(path, map_location="cpu", weights_only=True))
+
+
+def _load_pcd_dir(d: str) -> PointCloud:
+    return PointCloud(
+        points=_load_pt_tensor(os.path.join(d, "points.pt")),
+        colors=_load_pt_tensor(os.path.join(d, "colors.pt")),
+    )
+
+
+def load_demo_sequence(demo_dir: str) -> DemoSequence:
+    """Load one demo from either the reference layout (``step_K/...`` with
+    torch tensors) or the native ``.npz`` layout."""
+    npz = os.path.join(demo_dir, "demo.npz")
+    if os.path.exists(npz):
+        data = np.load(npz)
+        steps = []
+        k = 0
+        while f"step{k}_scene_points" in data:
+            steps.append(
+                TargetPoseDemo(
+                    scene_pcd=PointCloud(data[f"step{k}_scene_points"], data[f"step{k}_scene_colors"]),
+                    grasp_pcd=PointCloud(data[f"step{k}_grasp_points"], data[f"step{k}_grasp_colors"]),
+                    target_poses=data[f"step{k}_poses"],
+                    name=os.path.basename(demo_dir),
+                )
+            )
+            k += 1
+        return DemoSequence(steps=steps)
+    steps = []
+    k = 0
+    while os.path.isdir(os.path.join(demo_dir, f"step_{k}")):
+        sd = os.path.join(demo_dir, f"step_{k}")
+        steps.append(
+            TargetPoseDemo(
+                scene_pcd=_load_pcd_dir(os.path.join(sd, "scene_pcd")),
+                grasp_pcd=_load_pcd_dir(os.path.join(sd, "grasp_pcd")),
+                target_poses=_load_pt_tensor(os.path.join(sd, "target_poses", "poses.pt")),
+                name=os.path.basename(demo_dir),
+            )
+        )
+        k += 1
+    return DemoSequence(steps=steps)
+
+
+def save_demo_sequence(demo: DemoSequence, demo_dir: str) -> None:
+    os.makedirs(demo_dir, exist_ok=True)
+    payload = {}
+    for k, step in enumerate(demo.steps):
+        payload[f"step{k}_scene_points"] = step.scene_pcd.points
+        payload[f"step{k}_scene_colors"] = step.scene_pcd.colors
+        payload[f"step{k}_grasp_points"] = step.grasp_pcd.points
+        payload[f"step{k}_grasp_colors"] = step.grasp_pcd.colors
+        payload[f"step{k}_poses"] = step.target_poses
+    np.savez_compressed(os.path.join(demo_dir, "demo.npz"), **payload)
+
+
+class DemoDataset:
+    """Annotation-file-driven dataset (``data.yaml`` listing demo dirs,
+    matching the reference's ``DemoDataset``)."""
+
+    def __init__(self, dataset_dir: str, annotation_file: str = "data.yaml"):
+        self.dataset_dir = dataset_dir
+        with open(os.path.join(dataset_dir, annotation_file)) as f:
+            ann = yaml.safe_load(f)
+        self.demo_dirs = [os.path.join(dataset_dir, item["path"]) for item in ann]
+        self._cache: Dict[int, DemoSequence] = {}
+
+    def __len__(self) -> int:
+        return len(self.demo_dirs)
+
+    def __getitem__(self, i: int) -> DemoSequence:
+        if i not in self._cache:
+            self._cache[i] = load_demo_sequence(self.demo_dirs[i])
+        return self._cache[i]

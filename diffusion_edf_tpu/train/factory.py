@@ -1,0 +1,92 @@
+"""Model factory: instantiate score models from the reference's YAML config
+schema (``score_model_configs.yaml``), injecting TPU static-shape defaults
+(neighbor caps) where the reference relied on dynamic shapes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from ..models.score_model import MultiscaleScoreModel, PointAttentiveScoreModel
+
+__all__ = ["build_score_model", "DEFAULT_K"]
+
+DEFAULT_K = dict(k_field=32, k_pool=24, k_self=32, k_up=12)
+
+
+def _fill_tensor_field(tf: Dict, k_field: int) -> Dict:
+    tf = dict(tf)
+    n_scales = len(tf["r_cluster_multiscale"])
+    tf.setdefault("k_multiscale", [k_field] * n_scales)
+    tf.setdefault("alpha_drop", 0.1)
+    return tf
+
+
+def _fill_extractor(fe: Dict, k: Dict) -> Dict:
+    fe = dict(fe)
+    n_scales = len(fe["irreps_emb"])
+    fe.setdefault("k_pool", tuple([k["k_pool"]] * n_scales))
+    fe.setdefault("k_self", tuple([k["k_self"]] * n_scales))
+    if "n_layers_midstream" in fe:
+        fe.setdefault("k_up", tuple([k["k_up"]] * n_scales))
+    # drop reference-only knobs we intentionally do not carry
+    for legacy in ("pool_method", "attn_type", "proj_drop", "drop_path_rate", "output_scalespace"):
+        fe.pop(legacy, None)
+    # list-or-scalar normalization: the reference accepts per-scale lists for
+    # irreps_mlp_mid etc.; we keep the scalar form (all real configs use it).
+    if isinstance(fe.get("irreps_mlp_mid"), list):
+        fe["irreps_mlp_mid"] = fe["irreps_mlp_mid"][0]
+    if isinstance(fe.get("alpha_drop"), list):
+        fe["alpha_drop"] = fe["alpha_drop"][0]
+    return fe
+
+
+def _fill_keypoint_kwargs(kk: Dict, k: Dict) -> Dict:
+    kk = dict(kk)
+    kk["feature_extractor_kwargs"] = _fill_extractor(kk["feature_extractor_kwargs"], k)
+    kk["tensor_field_kwargs"] = _fill_tensor_field(kk["tensor_field_kwargs"], k["k_field"])
+    return kk
+
+
+def build_score_model(
+    model_name: str,
+    model_kwargs: Dict,
+    deterministic_fps: bool = True,
+    k_defaults: Optional[Dict] = None,
+):
+    """Build a score model from (``model_name``, ``model_kwargs``) as loaded
+    from ``score_model_configs.yaml`` (cf. ``trainer.py:124-158``)."""
+    k = dict(DEFAULT_K)
+    if k_defaults:
+        k.update(k_defaults)
+    mk = {key: val for key, val in model_kwargs.items()}
+    sh = dict(mk["score_head_kwargs"])
+    sh["key_tensor_field_kwargs"] = _fill_tensor_field(sh["key_tensor_field_kwargs"], k["k_field"])
+    mk["score_head_kwargs"] = sh
+
+    if model_name == "MultiscaleScoreModel":
+        key_kwargs = dict(mk["key_kwargs"])
+        key_kwargs["feature_extractor_kwargs"] = _fill_extractor(
+            key_kwargs["feature_extractor_kwargs"], k
+        )
+        mk["key_kwargs"] = key_kwargs
+        if mk.get("query_model") == "KeypointExtractor":
+            mk["query_kwargs"] = _fill_keypoint_kwargs(mk["query_kwargs"], k)
+        return MultiscaleScoreModel(
+            query_model=mk["query_model"],
+            score_head_kwargs=mk["score_head_kwargs"],
+            key_kwargs=mk["key_kwargs"],
+            query_kwargs=mk["query_kwargs"],
+            deterministic_fps=deterministic_fps,
+        )
+    if model_name == "PointAttentiveScoreModel":
+        mk["key_kwargs"] = _fill_keypoint_kwargs(mk["key_kwargs"], k)
+        if mk.get("query_model") == "KeypointExtractor":
+            mk["query_kwargs"] = _fill_keypoint_kwargs(mk["query_kwargs"], k)
+        return PointAttentiveScoreModel(
+            query_model=mk["query_model"],
+            score_head_kwargs=mk["score_head_kwargs"],
+            key_kwargs=mk["key_kwargs"],
+            query_kwargs=mk["query_kwargs"],
+            deterministic_fps=deterministic_fps,
+        )
+    raise ValueError(f"Unknown model name: {model_name}")

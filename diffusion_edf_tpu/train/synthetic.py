@@ -1,0 +1,124 @@
+"""Procedural demo generation for offline development, tests and benchmarks.
+
+The reference ships LFS demo datasets (``demo/panda_mug_on_hanger``) that are
+unavailable offline; this module generates geometrically meaningful pick/place
+tasks with the same container format so the full train/eval/serve pipeline can
+run end-to-end.  The task family is "mug on hanger"-like: a tabletop scene
+with a pole ("hanger") at a random pose, a mug-like grasped object, and target
+poses that hang the mug on the pole (place) or grasp the mug from the table
+(pick).  Units: meters (rescaled to cm by the standard preprocess pipeline,
+``README.md:81-100``).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .data import DemoSequence, PointCloud, TargetPoseDemo
+
+__all__ = ["make_synthetic_demo", "make_synthetic_dataset"]
+
+
+def _cylinder(rng, center, axis, radius, length, n, color):
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    # orthonormal frame
+    a = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+    u = np.cross(axis, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(axis, u)
+    t = rng.uniform(-length / 2, length / 2, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    pts = (
+        np.asarray(center)[None]
+        + t[:, None] * axis[None]
+        + radius * (np.cos(phi)[:, None] * u[None] + np.sin(phi)[:, None] * v[None])
+    )
+    cols = np.clip(np.asarray(color)[None] + rng.normal(0, 0.03, (n, 3)), 0, 1)
+    return pts, cols
+
+
+def _plane(rng, center, nx, ny, size, n, color):
+    xy = rng.uniform(-size / 2, size / 2, (n, 2))
+    pts = np.asarray(center)[None] + np.stack([xy[:, 0], xy[:, 1], np.zeros(n)], -1)
+    cols = np.clip(np.asarray(color)[None] + rng.normal(0, 0.02, (n, 3)), 0, 1)
+    return pts, cols
+
+
+def _mug(rng, n, color):
+    """Mug-like object in its own (grasp) frame: open cylinder + handle."""
+    n_body = int(n * 0.75)
+    n_handle = n - n_body
+    body, cb = _cylinder(rng, [0, 0, 0.04], [0, 0, 1], 0.035, 0.08, n_body, color)
+    handle, ch = _cylinder(rng, [0.045, 0, 0.04], [0, 0, 1], 0.012, 0.05, n_handle, color)
+    return np.concatenate([body, handle]), np.concatenate([cb, ch])
+
+
+def _quat_about(axis, angle):
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def make_synthetic_demo(seed: int, n_scene: int = 2800, n_grasp: int = 700) -> DemoSequence:
+    """One pick+place demo sequence (step 0 = pick, step 1 = place)."""
+    rng = np.random.default_rng(seed)
+
+    # --- table + hanger pole scene ---
+    table, tc = _plane(rng, [0, 0.35, 0.0], 0, 0, 0.5, int(n_scene * 0.5), [0.45, 0.35, 0.25])
+    pole_base = np.array([rng.uniform(-0.1, 0.1), rng.uniform(0.3, 0.45), 0.12])
+    yaw = rng.uniform(0, 2 * np.pi)
+    pole_dir = np.array([np.cos(yaw) * 0.25, np.sin(yaw) * 0.25, 0.97])
+    pole_dir /= np.linalg.norm(pole_dir)
+    pole, pc = _cylinder(rng, pole_base + 0.1 * pole_dir, pole_dir, 0.008, 0.2, int(n_scene * 0.2), [0.7, 0.7, 0.2])
+    # mug resting on the table (for the pick step)
+    mug_pos = np.array([rng.uniform(-0.15, 0.15), rng.uniform(0.25, 0.45), 0.0])
+    mug_yaw = rng.uniform(0, 2 * np.pi)
+    mug_local, mc = _mug(rng, int(n_scene * 0.3), [0.2, 0.3, 0.7])
+    cz, sz = np.cos(mug_yaw), np.sin(mug_yaw)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    mug_world = mug_local @ Rz.T + mug_pos
+
+    scene_pts = np.concatenate([table, pole, mug_world])
+    scene_cols = np.concatenate([tc, pc, mc])
+    scene = PointCloud(points=scene_pts, colors=scene_cols)
+
+    # --- grasped object cloud (mug in gripper frame) ---
+    grasp_local, gc = _mug(rng, n_grasp, [0.2, 0.3, 0.7])
+    # gripper holds the mug by the handle: offset so the handle is at origin
+    grasp_local = grasp_local - np.array([0.045, 0.0, 0.04])
+    grasp = PointCloud(points=grasp_local, colors=gc)
+
+    # --- pick target: gripper pose that aligns grasp frame to mug handle ---
+    q_pick = _quat_mul(_quat_about([0, 0, 1], mug_yaw), _quat_about([1, 0, 0], 0.0))
+    t_pick = mug_pos + Rz @ np.array([0.045, 0.0, 0.04])
+    pick_pose = np.concatenate([q_pick, t_pick])[None]
+
+    # --- place target: mug hung on the pole tip ---
+    hang_point = pole_base + 0.19 * pole_dir
+    roll = rng.uniform(0, 2 * np.pi)
+    q_place = _quat_mul(_quat_about([0, 0, 1], roll), _quat_about([1, 0, 0], np.pi / 2))
+    t_place = hang_point
+    place_pose = np.concatenate([q_place, t_place])[None]
+
+    pick = TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=pick_pose, name=f"synt_{seed}_pick")
+    place = TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=place_pose, name=f"synt_{seed}_place")
+    return DemoSequence(steps=[pick, place])
+
+
+def make_synthetic_dataset(n_demos: int = 10, seed: int = 0, **kwargs) -> List[DemoSequence]:
+    return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]

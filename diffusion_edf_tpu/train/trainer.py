@@ -1,0 +1,254 @@
+"""Training runtime: config loading, jitted train step, checkpointing, resume.
+
+Reference: ``/root/reference/diffusion_edf/trainer.py`` (three-YAML config
+load ``:42-48``, Adam hyperparams ``:161-164``, diffusion orchestration
+``run_once:350-407``, checkpointing ``save:237-242``).  TPU-native changes:
+
+* the whole step — contact sampling, SE(3) diffusion over all time schedules,
+  score forward, loss, grads, optimizer update — is ONE jitted function; the
+  time-schedule loop is unrolled at trace time (static count);
+* checkpoints are orbax (sharding-aware) with full train-state restore —
+  resume actually works (the reference raises NotImplementedError,
+  ``trainer.py:174-175``);
+* metrics go to a JSONL run log (``train/logging.py``).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from ..diffusion.diffuse import biequiv_diffusion, random_time
+from ..models.data import FeaturedPoints
+from ..models.score_model import train_loss
+from .data import DemoSequence, TargetPoseDemo, compose_proc_fn, pad_pointcloud
+from .factory import build_score_model
+from .logging import JsonlLogger
+
+__all__ = ["load_configs", "DiffusionEdfTrainer", "TrainState"]
+
+
+def load_configs(
+    configs_root_dir: str,
+    train_configs_file: str = "train_configs.yaml",
+    task_configs_file: str = "task_configs.yaml",
+) -> Tuple[Dict, Dict, Dict]:
+    """Load (train, task, model) config dicts (``trainer.py:42-48``)."""
+    with open(os.path.join(configs_root_dir, train_configs_file)) as f:
+        train_cfg = yaml.safe_load(f)
+    with open(os.path.join(configs_root_dir, task_configs_file)) as f:
+        task_cfg = yaml.safe_load(f)
+    with open(os.path.join(configs_root_dir, train_cfg["model_config_file"])) as f:
+        model_cfg = yaml.safe_load(f)
+    return train_cfg, task_cfg, model_cfg
+
+
+class TrainState(Tuple):
+    pass
+
+
+def make_optimizer(opt_kwargs: Dict) -> optax.GradientTransformation:
+    """torch Adam(amsgrad, L2 weight decay) equivalent
+    (``trainer.py:161-164``)."""
+    lr = float(opt_kwargs.get("lr", 3e-4))
+    b1, b2 = opt_kwargs.get("betas", (0.9, 0.98))
+    eps = float(opt_kwargs.get("eps", 1e-9))
+    wd = float(opt_kwargs.get("weight_decay", 0.0))
+    tx = optax.amsgrad(lr, b1=float(b1), b2=float(b2), eps=eps)
+    if wd:
+        tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    return tx
+
+
+class DiffusionEdfTrainer:
+    """End-to-end trainer for one task variant.
+
+    Usage::
+
+        tr = DiffusionEdfTrainer(configs_root_dir='configs/panda_mug/pick_lowres')
+        tr.init(demos, key)
+        for epoch ...: tr.train_epoch(key)
+    """
+
+    def __init__(
+        self,
+        configs_root_dir: str,
+        train_configs_file: str = "train_configs.yaml",
+        task_configs_file: str = "task_configs.yaml",
+        log_dir: Optional[str] = None,
+        n_scene_pad: int = 1024,
+        n_grasp_pad: int = 512,
+    ):
+        self.configs_root_dir = configs_root_dir
+        self.train_cfg, self.task_cfg, self.model_cfg = load_configs(
+            configs_root_dir, train_configs_file, task_configs_file
+        )
+        self.task_type: str = self.task_cfg["task_type"]
+        self.contact_radius = float(self.task_cfg["contact_radius"]) * float(
+            self.train_cfg.get("rescale_factor", 1.0)
+        )
+        self.n_samples_x_ref = int(self.train_cfg.get("n_samples_x_ref", 10))
+        diff = self.train_cfg.get("diffusion_configs", {})
+        self.time_schedules: List[Tuple[float, float]] = [
+            tuple(s) for s in diff.get("time_schedules", [[1.0, 0.01]])
+        ]
+        self.t_augment = diff.get("t_augment", None)
+        self.n_scene_pad = n_scene_pad
+        self.n_grasp_pad = n_grasp_pad
+
+        self.model = build_score_model(
+            self.model_cfg["model_name"], self.model_cfg["model_kwargs"], deterministic_fps=True
+        )
+        self.ang_mult = float(self.model_cfg["model_kwargs"]["score_head_kwargs"]["ang_mult"])
+        self.lin_mult = float(self.model_cfg["model_kwargs"]["score_head_kwargs"]["lin_mult"])
+        self.proc_fn = compose_proc_fn(self.train_cfg.get("preprocess_config", []))
+        self.optimizer = make_optimizer(self.train_cfg.get("optimizer_kwargs", {}))
+
+        self.log_dir = log_dir or os.path.join(
+            self.train_cfg.get("log_root_dir", "runs"), f"{os.path.basename(configs_root_dir)}"
+        )
+        self.logger = JsonlLogger(self.log_dir)
+        self.params = None
+        self.opt_state = None
+        self.steps = 0
+        self.epoch = 0
+        self._train_step = None
+        self._batches: List[Tuple[FeaturedPoints, FeaturedPoints, jnp.ndarray]] = []
+
+    # ------------------------------------------------------------------ #
+    def prepare_batches(self, demos: Sequence[DemoSequence]) -> None:
+        """Preprocess + pad all demos for this task (the demo sets are tiny —
+        ~10 sequences — so they live on device)."""
+        step_idx = 0 if self.task_type == "pick" else 1
+        self._batches = []
+        for seq in demos:
+            demo: TargetPoseDemo = self.proc_fn(seq[step_idx])
+            scene = pad_pointcloud(demo.scene_pcd, self.n_scene_pad)
+            grasp = pad_pointcloud(demo.grasp_pcd, self.n_grasp_pad)
+            T = jnp.asarray(demo.target_poses[:1])
+            self._batches.append((scene, grasp, T))
+
+    def init(self, demos: Sequence[DemoSequence], key: jax.Array) -> None:
+        self.prepare_batches(demos)
+        scene, grasp, T = self._batches[0]
+        time0 = jnp.full((T.shape[0],), 0.5)
+        self.params = self.model.init(key, T, scene, grasp, time0)
+        self.opt_state = self.optimizer.init(self.params)
+        self._train_step = jax.jit(self._make_train_step())
+
+    def n_params(self) -> int:
+        return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params))
+
+    # ------------------------------------------------------------------ #
+    def _make_train_step(self):
+        model = self.model
+        ang_mult, lin_mult = self.ang_mult, self.lin_mult
+        schedules = self.time_schedules
+        n_xref = self.n_samples_x_ref
+        contact_radius = self.contact_radius
+        optimizer = self.optimizer
+        t_augment = self.t_augment
+
+        def step_fn(params, opt_state, key, scene: FeaturedPoints, grasp: FeaturedPoints, T_target):
+            keys = jax.random.split(key, 2 * len(schedules) + 2)
+
+            if t_augment is not None:
+                T_aug, _, _, _, _ = biequiv_diffusion(
+                    keys[-1], T_target, float(t_augment), scene, grasp,
+                    ang_mult=ang_mult, lin_mult=lin_mult, n_samples_x_ref=1,
+                    contact_radius=contact_radius,
+                )
+                T_target = T_aug[:1]
+
+            Ts, times, tgt_ang, tgt_lin = [], [], [], []
+            for i, (t_max, t_min) in enumerate(schedules):
+                kt, kd = keys[2 * i], keys[2 * i + 1]
+                t = random_time(kt, float(t_min), float(t_max))
+                T_d, _, t_in, (ga, gl), _ = biequiv_diffusion(
+                    kd, T_target, t, scene, grasp,
+                    ang_mult=ang_mult, lin_mult=lin_mult, n_samples_x_ref=n_xref,
+                    contact_radius=contact_radius,
+                )
+                Ts.append(T_d)
+                times.append(t_in)
+                tgt_ang.append(ga)
+                tgt_lin.append(gl)
+            Ts = jnp.concatenate(Ts, 0)
+            times = jnp.concatenate(times, 0)
+            tgt_ang = jnp.concatenate(tgt_ang, 0)
+            tgt_lin = jnp.concatenate(tgt_lin, 0)
+
+            def loss_fn(p):
+                ang, lin = model.apply(p, Ts, scene, grasp, times)
+                return train_loss(ang, lin, tgt_ang, tgt_lin, times, ang_mult, lin_mult)
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            stats["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, stats
+
+        return step_fn
+
+    # ------------------------------------------------------------------ #
+    def train_epoch(self, key: jax.Array, shuffle: bool = True) -> Dict[str, float]:
+        assert self.params is not None, "call init() first"
+        order = np.arange(len(self._batches))
+        if shuffle:
+            np.random.default_rng(self.epoch).shuffle(order)
+        last_stats = {}
+        for i in order:
+            scene, grasp, T = self._batches[i]
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, stats = self._train_step(
+                self.params, self.opt_state, sub, scene, grasp, T
+            )
+            self.steps += 1
+            last_stats = {k: float(v) for k, v in stats.items()}
+            self.logger.log(step=self.steps, **last_stats)
+        self.epoch += 1
+        return last_stats
+
+    # ------------------------------------------------------------------ #
+    def save(self, checkpoint_dir: Optional[str] = None) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            checkpoint_dir or os.path.join(self.log_dir, "checkpoint", str(self.epoch))
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "meta": {"epoch": self.epoch, "steps": self.steps},
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        return path
+
+    def restore(self, checkpoint_dir: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        if self.params is None:
+            raise RuntimeError("call init() before restore() to build shapes")
+        target = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "meta": {"epoch": 0, "steps": 0},
+        }
+        restored = ckptr.restore(os.path.abspath(checkpoint_dir), target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.epoch = int(restored["meta"]["epoch"])
+        self.steps = int(restored["meta"]["steps"])

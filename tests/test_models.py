@@ -1,0 +1,192 @@
+"""Integration tests: full score model on tiny shapes + bi-equivariance.
+
+Bi-equivariance (the paper's core property): transforming the scene by g and
+the candidate pose by g (left action) leaves the body-frame scores invariant.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu.diffusion import build_schedule, langevin_sample
+from diffusion_edf_tpu.geom import so3, wigner
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.models import FeaturedPoints, MultiscaleScoreModel, train_loss
+
+IRREPS = "8x0e+4x1e+2x2e"
+IRREPS_SH = "1x0e+1x1e+1x2e"
+
+
+def tiny_config(ebm=False):
+    return dict(
+        query_model="StaticKeypointModel",
+        score_head_kwargs=dict(
+            max_time=1.0,
+            time_emb_mlp=[32, 32, 16],
+            ang_mult=2.5,
+            lin_mult=15.0,
+            edge_time_encoding=True,
+            query_time_encoding=False,
+            ebm=ebm,
+            key_tensor_field_kwargs=dict(
+                irreps_output=IRREPS,
+                irreps_sh=IRREPS_SH,
+                num_heads=2,
+                fc_neurons=[-1, 16, 16],
+                length_emb_dim=16,
+                r_cluster_multiscale=[2.0, None],
+                k_multiscale=[12, 999],
+                n_layers=1,
+                irreps_mlp_mid=2,
+                cutoff_method="edge_attn",
+                r_mincut_nonscalar_sh=0.1,
+                length_enc_max_r=10.0,
+                alpha_drop=0.0,
+            ),
+        ),
+        key_kwargs=dict(
+            feature_extractor_name="UnetFeatureExtractor",
+            feature_extractor_kwargs=dict(
+                irreps_input="3x0e",
+                irreps_output=IRREPS,
+                irreps_emb=[IRREPS, IRREPS],
+                irreps_edge_attr=[IRREPS_SH, IRREPS_SH],
+                num_heads=[2, 2],
+                fc_neurons=[[16, 16], [16, 16]],
+                n_layers=[2, 2],
+                pool_ratio=[0.4, 0.4],
+                radius=[1.2, None],
+                n_layers_midstream=1,
+                k_pool=(8, 8),
+                k_self=(8, 8),
+                k_up=(6, 6),
+                irreps_mlp_mid=2,
+                alpha_drop=0.0,
+            ),
+        ),
+        query_kwargs=dict(
+            irreps_output=IRREPS,
+            keypoint_coords=[[0.5, 0.5, 1.0], [-0.5, -0.5, 1.0]],
+        ),
+    )
+
+
+def make_scene(key, n=48):
+    k1, k2 = jax.random.split(key)
+    return FeaturedPoints(
+        x=jax.random.normal(k1, (n, 3)) * 2.0,
+        f=jax.random.uniform(k2, (n, 3)),
+        mask=jnp.arange(n) < n - 4,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MultiscaleScoreModel(**tiny_config())
+    scene = make_scene(jax.random.PRNGKey(0))
+    Ts = jnp.concatenate(
+        [so3.random_quaternions(jax.random.PRNGKey(1), 3), jax.random.normal(jax.random.PRNGKey(2), (3, 3))],
+        axis=-1,
+    )
+    time = jnp.full((3,), 0.5)
+    params = model.init(jax.random.PRNGKey(3), Ts, scene, scene, time)
+    return model, params, scene, Ts, time
+
+
+def test_score_shapes(model_and_params):
+    model, params, scene, Ts, time = model_and_params
+    ang, lin = model.apply(params, Ts, scene, scene, time)
+    assert ang.shape == (3, 3) and lin.shape == (3, 3)
+    assert np.isfinite(np.asarray(ang)).all() and np.isfinite(np.asarray(lin)).all()
+
+
+def test_left_biequivariance(model_and_params):
+    """score(g·scene, g∘T) == score(scene, T) in the body frame."""
+    model, params, scene, Ts, time = model_and_params
+    ang, lin = model.apply(params, Ts, scene, scene, time)
+
+    g_q = so3.random_quaternions(jax.random.PRNGKey(7), 1)[0]
+    g_t = jnp.asarray([0.3, -0.7, 0.2])
+    g = jnp.concatenate([g_q, g_t])
+
+    scene_g = FeaturedPoints(
+        x=so3.quaternion_apply(g_q[None], scene.x) + g_t,
+        f=wigner.rotate_irreps(Irreps("3x0e"), scene.f, g_q[None])[0],
+        mask=scene.mask,
+    )
+    Ts_g = so3.multiply_se3(g[None], Ts)
+    ang_g, lin_g = model.apply(params, Ts_g, scene_g, scene_g, time)
+    np.testing.assert_allclose(np.asarray(ang_g), np.asarray(ang), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lin_g), np.asarray(lin), atol=2e-3)
+
+
+def test_train_loss_and_grads(model_and_params):
+    model, params, scene, Ts, time = model_and_params
+
+    def loss_fn(p):
+        ang, lin = model.apply(p, Ts, scene, scene, time)
+        tgt_a = jnp.ones_like(ang)
+        tgt_l = jnp.ones_like(lin)
+        loss, stats = train_loss(ang, lin, tgt_a, tgt_l, time, 2.5, 15.0)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+def test_langevin_sample(model_and_params):
+    model, params, scene, Ts, time = model_and_params
+    key_ms = model.apply(params, scene, method=model.get_key_pcd_multiscale)
+    query = model.apply(params, scene, method=model.get_query_pcd)
+
+    def score_fn(T, t):
+        return model.apply(params, T, key_ms, query, t, method=model.score)
+
+    sched = build_schedule(
+        diffusion_schedules=[[1.0, 0.1], [0.1, 0.02]],
+        N_steps=[5, 5],
+        timesteps=[0.1, 0.05],
+        ang_mult=2.5,
+        lin_mult=15.0,
+    )
+    T_final, traj = jax.jit(
+        lambda k, T: langevin_sample(k, score_fn, T, sched, 2.5, 15.0)
+    )(jax.random.PRNGKey(11), Ts)
+    assert T_final.shape == (3, 7)
+    assert traj.shape == (11, 3, 7)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(T_final)[:, :4], axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_ebm_energy_invariance():
+    model = MultiscaleScoreModel(**tiny_config(ebm=True))
+    scene = make_scene(jax.random.PRNGKey(0))
+    Ts = jnp.concatenate(
+        [so3.random_quaternions(jax.random.PRNGKey(1), 2), jax.random.normal(jax.random.PRNGKey(2), (2, 3))],
+        axis=-1,
+    )
+    time = jnp.full((2,), 0.5)
+    params = model.init(jax.random.PRNGKey(3), Ts, scene, scene, time)
+    key_ms = model.apply(params, scene, method=model.get_key_pcd_multiscale)
+    query = model.apply(params, scene, method=model.get_query_pcd)
+    e = model.apply(params, Ts, key_ms, query, time, method=model.energy)
+    assert e.shape == (2,)
+
+    g_q = so3.random_quaternions(jax.random.PRNGKey(7), 1)[0]
+    g = jnp.concatenate([g_q, jnp.asarray([0.1, 0.2, -0.3])])
+    scene_g = FeaturedPoints(
+        x=so3.quaternion_apply(g_q[None], scene.x) + g[4:],
+        f=wigner.rotate_irreps(Irreps("3x0e"), scene.f, g_q[None])[0],
+        mask=scene.mask,
+    )
+    key_ms_g = model.apply(params, scene_g, method=model.get_key_pcd_multiscale)
+    e_g = model.apply(params, so3.multiply_se3(g[None], Ts), key_ms_g, query, time, method=model.energy)
+    np.testing.assert_allclose(np.asarray(e_g), np.asarray(e), rtol=1e-3, atol=1e-3)
+
+    # score via autodiff works
+    ang, lin = model.apply(params, Ts, key_ms, query, time, method=model.score)
+    assert ang.shape == (2, 3) and np.isfinite(np.asarray(ang)).all()

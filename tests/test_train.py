@@ -1,0 +1,115 @@
+"""End-to-end training pipeline test on synthetic demos (tiny model)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from diffusion_edf_tpu.train import DiffusionEdfTrainer, make_synthetic_dataset
+
+TINY_MODEL = dict(
+    model_name="MultiscaleScoreModel",
+    model_kwargs=dict(
+        score_head_kwargs=dict(
+            max_time=1.0,
+            time_emb_mlp=[32, 32, 16],
+            ang_mult=2.5,
+            lin_mult=15.0,
+            edge_time_encoding=True,
+            query_time_encoding=False,
+            key_tensor_field_kwargs=dict(
+                irreps_output="8x0e+4x1e+2x2e",
+                irreps_sh="1x0e+1x1e+1x2e",
+                num_heads=2,
+                fc_neurons=[-1, 16, 16],
+                length_emb_dim=16,
+                r_cluster_multiscale=[5.0, None],
+                k_multiscale=[8, 64],
+                n_layers=1,
+                irreps_mlp_mid=2,
+                cutoff_method="edge_attn",
+                r_mincut_nonscalar_sh=0.3,
+                length_enc_max_r=100.0,
+                alpha_drop=0.0,
+            ),
+        ),
+        key_kwargs=dict(
+            feature_extractor_name="UnetFeatureExtractor",
+            feature_extractor_kwargs=dict(
+                irreps_input="3x0e",
+                irreps_output="8x0e+4x1e+2x2e",
+                irreps_emb=["8x0e+4x1e+2x2e", "8x0e+4x1e+2x2e"],
+                irreps_edge_attr=["1x0e+1x1e+1x2e", "1x0e+1x1e+1x2e"],
+                num_heads=[2, 2],
+                fc_neurons=[[16, 16], [16, 16]],
+                n_layers=[1, 1],
+                pool_ratio=[0.25, 0.25],
+                radius=[3.0, None],
+                n_layers_midstream=1,
+                k_pool=[8, 8],
+                k_self=[8, 8],
+                k_up=[6, 6],
+                irreps_mlp_mid=2,
+                alpha_drop=0.0,
+            ),
+        ),
+        query_model="StaticKeypointModel",
+        query_kwargs=dict(
+            irreps_output="8x0e+4x1e+2x2e",
+            keypoint_coords=[[0.5, 0.5, 1.0], [-0.5, -0.5, 1.0]],
+        ),
+    ),
+)
+
+TRAIN_CFG = dict(
+    model_config_file="score_model_configs.yaml",
+    log_root_dir="runs",
+    rescale_factor=100.0,
+    preprocess_config=[
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ],
+    n_samples_x_ref=4,
+    diffusion_configs=dict(t_augment=None, time_schedules=[[1.0, 0.15], [0.15, 0.01]]),
+    optimizer_kwargs=dict(lr=3e-4, betas=[0.9, 0.98], eps=1e-9, weight_decay=1e-4),
+)
+
+TASK_CFG = dict(task_type="pick", contact_radius=0.02)
+
+
+@pytest.fixture(scope="module")
+def cfg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg")
+    with open(d / "train_configs.yaml", "w") as f:
+        yaml.safe_dump(TRAIN_CFG, f)
+    with open(d / "task_configs.yaml", "w") as f:
+        yaml.safe_dump(TASK_CFG, f)
+    with open(d / "score_model_configs.yaml", "w") as f:
+        yaml.safe_dump(TINY_MODEL, f)
+    return str(d)
+
+
+def test_train_loop_and_checkpoint(cfg_dir, tmp_path):
+    demos = make_synthetic_dataset(n_demos=2, seed=0, n_scene=600, n_grasp=150)
+    tr = DiffusionEdfTrainer(
+        cfg_dir, log_dir=str(tmp_path / "run"), n_scene_pad=256, n_grasp_pad=96
+    )
+    tr.init(demos, jax.random.PRNGKey(0))
+    assert tr.n_params() > 1000
+
+    stats1 = tr.train_epoch(jax.random.PRNGKey(1))
+    assert np.isfinite(stats1["loss/train"])
+    stats2 = tr.train_epoch(jax.random.PRNGKey(2))
+    assert np.isfinite(stats2["loss/train"])
+
+    # checkpoint round-trip
+    path = tr.save(str(tmp_path / "ckpt"))
+    p_before = jax.tree_util.tree_leaves(tr.params)[0].copy()
+    tr.train_epoch(jax.random.PRNGKey(3))
+    tr.restore(path)
+    p_after = jax.tree_util.tree_leaves(tr.params)[0]
+    np.testing.assert_allclose(np.asarray(p_before), np.asarray(p_after))
+
+    # metrics file exists
+    assert os.path.exists(os.path.join(tr.log_dir, "metrics.jsonl"))
