@@ -1,0 +1,81 @@
+"""Headline benchmark: SE(3) denoising throughput (pose-steps/s) on one chip.
+
+One "pose-step" = one Langevin update of one pose seed = one score-network
+evaluation for that seed.  The reference runs ~650-900 *sequential* score
+evals per denoise call with 20 seeds batched on CUDA (server schedule,
+``configs/panda_mug/server.yaml``; eval notebooks) and reports no timing; the
+paper-era wall clock is minutes per grasp.  ``VS_BASELINE_REF`` below encodes
+the assumed CUDA baseline of 200 pose-steps/s (650 evals x 20 seeds in ~65 s).
+
+Run: python bench.py  (prints ONE JSON line)
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+VS_BASELINE_REF = 200.0  # assumed CUDA pose-steps/s (see module docstring)
+
+N_SCENE = 1024
+N_SEEDS = 32
+N_STEPS = 100
+
+
+def main():
+    from diffusion_edf_tpu.diffusion import build_schedule, langevin_sample
+    from diffusion_edf_tpu.train.factory import build_score_model
+    import __graft_entry__ as ge
+
+    cfg = ge._model_config(tiny=False)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    scene, Ts, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=N_SCENE, n_poses=N_SEEDS)
+    time0 = jnp.full((Ts.shape[0],), 0.5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts, scene, scene, time0)
+
+    # scene/query features once per scene (as the agent does, agent.py:134-137)
+    key_ms = jax.jit(lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale))(params, scene)
+    query = jax.jit(lambda p, s: model.apply(p, s, method=model.get_query_pcd))(params, scene)
+
+    def score_fn(T, t):
+        return model.apply(params, T, key_ms, query, t, method=model.score)
+
+    sched = build_schedule(
+        diffusion_schedules=[[1.0, 0.15], [0.15, 0.01]],
+        N_steps=[N_STEPS // 2, N_STEPS - N_STEPS // 2],
+        timesteps=[0.07, 0.02],
+        ang_mult=2.5,
+        lin_mult=15.0,
+    )
+
+    @jax.jit
+    def rollout(k, T):
+        Tf, _ = langevin_sample(k, score_fn, T, sched, 2.5, 15.0, record_trajectory=False)
+        return Tf
+
+    # warmup / compile
+    rollout(jax.random.PRNGKey(2), Ts).block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = rollout(jax.random.PRNGKey(3 + i), Ts)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    pose_steps_per_s = N_SEEDS * N_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "SE(3) denoising pose-steps/s (1 chip, 32 seeds, 1024-pt scene)",
+                "value": round(pose_steps_per_s, 1),
+                "unit": "pose_steps/s",
+                "vs_baseline": round(pose_steps_per_s / VS_BASELINE_REF, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

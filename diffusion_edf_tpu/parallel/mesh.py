@@ -1,0 +1,45 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no intra-training parallelism at all (SURVEY.md §2.4); this
+layer is new, designed for the north-star scaling axes:
+
+* ``data``  — pose seeds (inference) / diffused-pose batch (training): the
+  Langevin chain is embarrassingly parallel over seeds
+  (``score_model_base.py:146-199``), so seeds shard over chips with zero
+  collectives in the forward pass; gradient reductions ride ICI via jit's
+  automatic psum.
+* ``model`` — reserved for point/edge sharding of the score-field evaluation
+  on very large scenes (global-scale blockwise attention).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "P"]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Tuple[str, ...] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_batch(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch/seed) axis over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,86 @@
+"""Sharded inference and training steps over a device mesh.
+
+Seed-parallel Langevin sampling and data-parallel training via jit + GSPMD
+sharding annotations: parameters and scene features replicated, the pose/seed
+axis sharded over ``data``.  Collectives (gradient psum) are inserted by XLA
+and ride ICI.  This replaces nothing in the reference (it is single-GPU,
+SURVEY.md §2.4) — it is the new scaling surface required by BASELINE.md.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diffusion.langevin import LangevinSchedule, langevin_sample
+from ..models.data import FeaturedPoints
+
+__all__ = ["sharded_langevin_sample", "make_sharded_train_step", "pad_seeds_to_multiple"]
+
+
+def pad_seeds_to_multiple(T_seed: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, int]:
+    """Pad the seed batch to a multiple of the mesh size (repeating the last
+    seed); returns (padded, original_count)."""
+    nT = T_seed.shape[0]
+    rem = (-nT) % n
+    if rem:
+        T_seed = jnp.concatenate([T_seed, jnp.tile(T_seed[-1:], (rem, 1))], axis=0)
+    return T_seed, nT
+
+
+def sharded_langevin_sample(
+    mesh: Mesh,
+    score_fn: Callable,
+    key: jax.Array,
+    T_seed: jnp.ndarray,
+    schedule: LangevinSchedule,
+    ang_mult: float,
+    lin_mult: float,
+    record_trajectory: bool = False,
+):
+    """Langevin rollout with seeds sharded over the ``data`` mesh axis.
+
+    ``score_fn`` must already close over (replicated) parameters and scene
+    features.  The per-step math is elementwise over seeds, so GSPMD
+    partitions the whole scan with zero inter-chip communication.
+    """
+    T_seed, n_orig = pad_seeds_to_multiple(T_seed, mesh.devices.size)
+    seed_sharding = NamedSharding(mesh, P("data"))
+    T_seed = jax.device_put(T_seed, seed_sharding)
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=(
+            seed_sharding,
+            NamedSharding(mesh, P(None, "data")) if record_trajectory else None,
+        ),
+    )
+    def run(k, T):
+        return langevin_sample(
+            k, score_fn, T, schedule, ang_mult, lin_mult, record_trajectory=record_trajectory
+        )
+
+    T_final, traj = run(key, T_seed)
+    if record_trajectory:
+        return T_final[:n_orig], traj[:, :n_orig]
+    return T_final[:n_orig], None
+
+
+def make_sharded_train_step(mesh: Mesh, train_step_fn: Callable):
+    """Wrap a trainer step function so that the diffused-pose batch produced
+    inside is sharded over ``data`` and gradients are psum'd by XLA.
+
+    With batch-size-1 demos (the reference's setting, ``train.py:39``) the DP
+    axis is the diffused-pose batch (n_schedules x n_samples_x_ref poses per
+    step); params/opt state stay replicated.
+    """
+    repl = NamedSharding(mesh, P())
+
+    return jax.jit(
+        train_step_fn,
+        in_shardings=(repl, repl, repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
