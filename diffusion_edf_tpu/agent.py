@@ -1,0 +1,204 @@
+"""Inference agent: model cascade (lowres -> highres) + optional EBM critic.
+
+Reference: ``/root/reference/diffusion_edf/agent.py`` (``DiffusionEdfAgent``,
+``sample:98-179``; model loading ``get_models:21-64``).  Per cascade stage the
+scene/grasp features are extracted ONCE, then the annealed Langevin rollout
+runs fully on-device (one ``lax.scan``); the final pose of stage k seeds
+stage k+1; the critic ranks final samples by energy (ascending,
+``agent.py:163-174``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion.langevin import build_schedule, langevin_sample
+from .models.data import FeaturedPoints
+from .train.data import PointCloud, compose_proc_fn, pad_pointcloud
+from .train.factory import build_score_model
+from .train.trainer import load_configs
+
+__all__ = ["ModelBundle", "DiffusionEdfAgent", "load_model_bundle"]
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    model: Any
+    params: Any
+    ang_mult: float
+    lin_mult: float
+    n_scene_pad: int = 1024
+    n_grasp_pad: int = 512
+    name: str = ""
+
+
+def load_model_bundle(
+    configs_root_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    train_configs_file: str = "train_configs.yaml",
+    task_configs_file: str = "task_configs.yaml",
+    n_scene_pad: int = 1024,
+    n_grasp_pad: int = 512,
+    init_seed: int = 0,
+) -> ModelBundle:
+    """Build a model from its config tree and (optionally) restore an orbax
+    checkpoint (reference ``get_models``, ``agent.py:21-64``)."""
+    _, _, model_cfg = load_configs(configs_root_dir, train_configs_file, task_configs_file)
+    model = build_score_model(model_cfg["model_name"], model_cfg["model_kwargs"])
+    sh = model_cfg["model_kwargs"]["score_head_kwargs"]
+
+    scene = FeaturedPoints(
+        x=jnp.zeros((n_scene_pad, 3)), f=jnp.zeros((n_scene_pad, 3)),
+        mask=jnp.zeros(n_scene_pad, bool).at[:8].set(True),
+    )
+    grasp = FeaturedPoints(
+        x=jnp.zeros((n_grasp_pad, 3)), f=jnp.zeros((n_grasp_pad, 3)),
+        mask=jnp.zeros(n_grasp_pad, bool).at[:8].set(True),
+    )
+    Ts = jnp.concatenate([jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1)), jnp.zeros((2, 3))], -1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(init_seed), Ts, scene, grasp, jnp.full((2,), 0.5))
+    if checkpoint_dir is not None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(checkpoint_dir), {"params": params})
+        params = restored["params"]
+    return ModelBundle(
+        model=model,
+        params=params,
+        ang_mult=float(sh["ang_mult"]),
+        lin_mult=float(sh["lin_mult"]),
+        n_scene_pad=n_scene_pad,
+        n_grasp_pad=n_grasp_pad,
+        name=os.path.basename(configs_root_dir),
+    )
+
+
+class DiffusionEdfAgent:
+    def __init__(
+        self,
+        models: Sequence[ModelBundle],
+        preprocess_config: Sequence[Dict],
+        unprocess_config: Sequence[Dict],
+        critic: Optional[ModelBundle] = None,
+    ):
+        self.models = list(models)
+        self.critic = critic
+        self.proc_fn = compose_proc_fn(preprocess_config)
+        self.unprocess_config = list(unprocess_config)
+        # the unprocess pipeline is only a rescale (cm -> m), applied to poses
+        self.unrescale = 1.0
+        for op in unprocess_config:
+            if op["name"] == "rescale":
+                self.unrescale *= float(op["kwargs"]["rescale_factor"])
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ #
+    def _prep(self, scene_pcd: PointCloud, grasp_pcd: PointCloud):
+        from .train.data import TargetPoseDemo
+
+        demo = TargetPoseDemo(scene_pcd=scene_pcd, grasp_pcd=grasp_pcd, target_poses=np.zeros((1, 7)))
+        demo = self.proc_fn(demo)
+        return demo.scene_pcd, demo.grasp_pcd
+
+    def sample(
+        self,
+        scene_pcd: PointCloud,
+        grasp_pcd: PointCloud,
+        Ts_init: np.ndarray,  # (nT, 7) in raw (meter) units, pre-rescale
+        N_steps_list: Sequence[Sequence[int]],
+        timesteps_list: Sequence[Sequence[float]],
+        temperatures_list: Sequence[Union[float, Sequence[float]]],
+        diffusion_schedules_list: Sequence[Sequence[Sequence[float]]],
+        log_t_schedule: bool = True,
+        time_exponent_temp: float = 1.0,
+        time_exponent_alpha: float = 0.5,
+        key: Optional[jax.Array] = None,
+        record_trajectory: bool = True,
+    ) -> Tuple[np.ndarray, PointCloud, PointCloud, Dict[str, Any]]:
+        """Cascaded annealed Langevin sampling (``agent.py:98-179``).
+
+        Returns (trajectory (nSteps+stages, nT, 7) in *processed* (cm) units,
+        processed scene, processed grasp, info dict)."""
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        scene_p, grasp_p = self._prep(scene_pcd, grasp_pcd)
+        # poses rescale with the preprocess rescale factor (meters -> cm),
+        # the inverse of the unprocess rescale
+        pose_scale = 1.0 / self.unrescale if self.unrescale != 1.0 else 1.0
+        T0 = jnp.asarray(Ts_init, dtype=jnp.float32)
+        T0 = jnp.concatenate([T0[:, :4], T0[:, 4:] * pose_scale], axis=-1)
+
+        info: Dict[str, Any] = {}
+        trajs = []
+        for mi, bundle in enumerate(self.models):
+            scene_fp = pad_pointcloud(scene_p, bundle.n_scene_pad)
+            grasp_fp = pad_pointcloud(grasp_p, bundle.n_grasp_pad)
+            model, params = bundle.model, bundle.params
+            key_ms = jax.jit(
+                lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale)
+            )(params, scene_fp)
+            query = jax.jit(lambda p, s: model.apply(p, s, method=model.get_query_pcd))(
+                params, grasp_fp
+            )
+
+            sched = build_schedule(
+                diffusion_schedules=diffusion_schedules_list[mi],
+                N_steps=N_steps_list[mi],
+                timesteps=timesteps_list[mi],
+                ang_mult=bundle.ang_mult,
+                lin_mult=bundle.lin_mult,
+                temperatures=temperatures_list[mi],
+                log_t_schedule=log_t_schedule,
+                time_exponent_temp=time_exponent_temp,
+                time_exponent_alpha=time_exponent_alpha,
+            )
+
+            def score_fn(T, t, model=model, params=params, key_ms=key_ms, query=query):
+                return model.apply(params, T, key_ms, query, t, method=model.score)
+
+            key, sub = jax.random.split(key)
+            rollout = jax.jit(
+                lambda k, T: langevin_sample(
+                    k, score_fn, T, sched, bundle.ang_mult, bundle.lin_mult,
+                    record_trajectory=record_trajectory,
+                )
+            )
+            T_final, traj = rollout(sub, T0)
+            T0 = T_final
+            trajs.append(np.asarray(traj) if record_trajectory else np.asarray(T_final)[None])
+
+        Ts_out = np.concatenate(trajs, axis=0)  # (total_steps, nT, 7)
+
+        if self.critic is not None:
+            c = self.critic
+            scene_fp = pad_pointcloud(scene_p, c.n_scene_pad)
+            grasp_fp = pad_pointcloud(grasp_p, c.n_grasp_pad)
+            key_ms = jax.jit(
+                lambda p, s: c.model.apply(p, s, method=c.model.get_key_pcd_multiscale)
+            )(c.params, scene_fp)
+            query = jax.jit(lambda p, s: c.model.apply(p, s, method=c.model.get_query_pcd))(
+                c.params, grasp_fp
+            )
+            Tl = jnp.asarray(Ts_out[-1])
+            energy = jax.jit(
+                lambda T: c.model.apply(
+                    c.params, T, key_ms, query, jnp.ones((T.shape[0],)), method=c.model.energy
+                )
+            )(Tl)
+            order = np.argsort(np.asarray(energy))
+            Ts_out = Ts_out[:, order]
+            info["energy"] = np.asarray(energy)[order]
+
+        return Ts_out, scene_p, grasp_p, info
+
+    # ------------------------------------------------------------------ #
+    def unprocess_poses(self, Ts: np.ndarray) -> np.ndarray:
+        """cm -> meters on the translation part (``agent_server.py:194-221``)."""
+        Ts = np.asarray(Ts)
+        return np.concatenate([Ts[..., :4], Ts[..., 4:] * self.unrescale], axis=-1)

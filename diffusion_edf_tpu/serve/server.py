@@ -1,0 +1,153 @@
+"""Inference serving host: JSON-over-HTTP agent service.
+
+Replaces the reference's Pyro5 RPC server (``agent_server.py:20-265``) with a
+dependency-free stdlib HTTP server fronting the jitted sampling pipeline.
+Endpoints mirror the exposed RPC methods (``AgentService``,
+``agent_server.py:89-259``):
+
+  POST /denoise               — full denoising trajectories per seed pose
+  POST /request_trajectories  — final poses -> pre-pick/pre-place approach
+                                trajectories
+  POST /reconfigure           — runtime-mutable diffusion/trajectory configs
+  GET  /get_configs           — current configs
+
+Payloads are JSON: point clouds as {"points": [[x,y,z],...], "colors": ...},
+poses as [[qw,qx,qy,qz,x,y,z], ...].  Units on the wire are meters (the
+server rescales to model units internally and back, ``agent_server.py:194-221``).
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..agent import DiffusionEdfAgent
+from ..train.data import PointCloud
+from .trajectories import compute_pre_pick_trajectory, compute_pre_place_trajectory
+
+__all__ = ["AgentService", "run_server"]
+
+
+class AgentService:
+    """Task-routed agent pair + runtime-mutable configs
+    (``AgentService.reconfigure``, ``agent_server.py:102-117``)."""
+
+    def __init__(
+        self,
+        pick_agent: Optional[DiffusionEdfAgent],
+        place_agent: Optional[DiffusionEdfAgent],
+        configs: Dict[str, Any],
+    ):
+        self.agents = {"pick": pick_agent, "place": place_agent}
+        self.configs = configs
+        # RLock: reconfigure() calls get_configs() while holding the lock
+        self._lock = threading.RLock()
+
+    def get_configs(self) -> Dict[str, Any]:
+        with self._lock:
+            return json.loads(json.dumps(self.configs))
+
+    def reconfigure(self, updates: Dict[str, Any]) -> Dict[str, Any]:
+        with self._lock:
+            self.configs.update(updates)
+            return self.get_configs()
+
+    # ------------------------------------------------------------------ #
+    def denoise(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        task = req["task_type"]
+        agent = self.agents[task]
+        assert agent is not None, f"no agent for task {task}"
+        scene = PointCloud(points=np.asarray(req["scene"]["points"]), colors=np.asarray(req["scene"]["colors"]))
+        grasp = PointCloud(points=np.asarray(req["grasp"]["points"]), colors=np.asarray(req["grasp"]["colors"]))
+        Ts_init = np.asarray(req["Ts_init"], dtype=np.float32)
+        with self._lock:
+            diff_cfg = dict(self.configs[f"{task}_diffusion_configs"])
+        traj, _, _, info = agent.sample(scene, grasp, Ts_init, **diff_cfg)
+        traj_m = agent.unprocess_poses(traj)  # back to meters
+        out = {"trajectories": traj_m.tolist()}
+        if "energy" in info:
+            out["energy"] = np.asarray(info["energy"]).tolist()
+        return out
+
+    def request_trajectories(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        task = req["task_type"]
+        den = self.denoise(req)
+        final_poses = np.asarray(den["trajectories"])[-1]  # (nT, 7), meters
+        with self._lock:
+            tcfg = dict(self.configs.get(f"{task}_trajectory_configs", {}))
+        trajs = []
+        for pose in final_poses:
+            if task == "pick":
+                trajs.append(
+                    compute_pre_pick_trajectory(
+                        pose,
+                        approach_len=float(tcfg.get("approach_len", 0.1)),
+                        n_steps=int(tcfg.get("n_steps", 10)),
+                    ).tolist()
+                )
+            else:
+                trajs.append(
+                    compute_pre_place_trajectory(
+                        pose,
+                        scene_points=np.asarray(req["scene"]["points"]),
+                        grasp_points=np.asarray(req["grasp"]["points"]),
+                        n_steps=int(tcfg.get("n_steps", 20)),
+                        dt=float(tcfg.get("dt", 1e-4)),
+                        cutoff_r=float(tcfg.get("cutoff_r", 0.05)),
+                        eps=float(tcfg.get("eps", 1e-4)),
+                        max_num_neighbors=int(tcfg.get("max_num_neighbors", 100)),
+                    ).tolist()
+                )
+        return {"trajectories": trajs, "denoise": den}
+
+
+def _make_handler(service: AgentService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/get_configs":
+                self._send(200, service.get_configs())
+            elif self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/denoise":
+                    self._send(200, service.denoise(req))
+                elif self.path == "/request_trajectories":
+                    self._send(200, service.request_trajectories(req))
+                elif self.path == "/reconfigure":
+                    self._send(200, service.reconfigure(req))
+                else:
+                    self._send(404, {"error": "unknown endpoint"})
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": repr(e)})
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def run_server(service: AgentService, host: str = "0.0.0.0", port: int = 8329, block: bool = True):
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    if block:
+        httpd.serve_forever()
+    else:
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+    return httpd

@@ -1,0 +1,90 @@
+"""Training CLI (reference ``train.py:14-83`` semantics).
+
+Example::
+
+    python -m diffusion_edf_tpu.train.cli \
+        --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+        --synthetic-demos 10 --max-epochs 50
+
+Loads demos from ``trainset.dataset_dir`` (reference on-disk layout or native
+``.npz``), or generates synthetic demos with ``--synthetic-demos`` when the
+LFS demo data is unavailable.  Resume actually works (``--resume-from``).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train a diffusion-EDF score model (TPU)")
+    p.add_argument("--configs-root-dir", required=True)
+    p.add_argument("--train-configs-file", default="train_configs.yaml")
+    p.add_argument("--task-configs-file", default="task_configs.yaml")
+    p.add_argument("--log-name", default=None)
+    p.add_argument("--log-name-postfix", default=None)
+    p.add_argument("--resume-from", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic-demos", type=int, default=0, help="generate N synthetic demos instead of loading the dataset")
+    p.add_argument("--n-scene-pad", type=int, default=1024)
+    p.add_argument("--n-grasp-pad", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from .data import DemoDataset
+    from .synthetic import make_synthetic_dataset
+    from .trainer import DiffusionEdfTrainer
+
+    log_name = args.log_name or time.strftime("%Y%m%d-%H%M%S")
+    if args.log_name_postfix:
+        log_name = f"{log_name}_{args.log_name_postfix}"
+
+    tr = DiffusionEdfTrainer(
+        args.configs_root_dir,
+        train_configs_file=args.train_configs_file,
+        task_configs_file=args.task_configs_file,
+        log_dir=os.path.join("runs", log_name),
+        n_scene_pad=args.n_scene_pad,
+        n_grasp_pad=args.n_grasp_pad,
+    )
+    if args.synthetic_demos:
+        demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
+    else:
+        ds = DemoDataset(
+            tr.train_cfg["trainset"]["dataset_dir"],
+            tr.train_cfg["trainset"].get("annotation_file", "data.yaml"),
+        )
+        demos = [ds[i] for i in range(len(ds))]
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    tr.init(demos, k_init)
+    if args.resume_from:
+        tr.restore(args.resume_from)
+        print(f"resumed from {args.resume_from} at epoch {tr.epoch}")
+    print(f"model: {tr.model_cfg['model_name']}  params: {tr.n_params():,}")
+
+    max_epochs = args.max_epochs or int(tr.train_cfg.get("max_epochs", 300))
+    ckpt_every = int(tr.train_cfg.get("n_epochs_per_checkpoint", 50))
+    t0 = time.time()
+    while tr.epoch < max_epochs:
+        key, sub = jax.random.split(key)
+        stats = tr.train_epoch(sub)
+        if tr.epoch % 10 == 0 or tr.epoch == 1:
+            print(
+                f"epoch {tr.epoch:4d}  loss {stats['loss/train']:.4f} "
+                f"(ang {stats['loss/angular']:.4f} lin {stats['loss/linear']:.4f}) "
+                f"{time.time() - t0:.1f}s"
+            )
+        if tr.epoch % ckpt_every == 0:
+            path = tr.save()
+            print(f"checkpoint -> {path}")
+    path = tr.save()
+    print(f"final checkpoint -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,8 @@ DEFAULT_K = dict(k_field=32, k_pool=24, k_self=32, k_up=12)
 def _fill_tensor_field(tf: Dict, k_field: int) -> Dict:
     tf = dict(tf)
     n_scales = len(tf["r_cluster_multiscale"])
+    declared = tf.pop("n_scales", None)  # reference's double-check knob
+    assert declared is None or declared == n_scales, (declared, n_scales)
     tf.setdefault("k_multiscale", [k_field] * n_scales)
     tf.setdefault("alpha_drop", 0.1)
     return tf
@@ -24,6 +26,8 @@ def _fill_tensor_field(tf: Dict, k_field: int) -> Dict:
 def _fill_extractor(fe: Dict, k: Dict) -> Dict:
     fe = dict(fe)
     n_scales = len(fe["irreps_emb"])
+    declared = fe.pop("n_scales", None)  # reference's double-check knob
+    assert declared is None or declared == n_scales, (declared, n_scales)
     fe.setdefault("k_pool", tuple([k["k_pool"]] * n_scales))
     fe.setdefault("k_self", tuple([k["k_self"]] * n_scales))
     if "n_layers_midstream" in fe:

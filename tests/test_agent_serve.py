@@ -1,0 +1,119 @@
+"""Agent cascade + HTTP serving round-trip on tiny models."""
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle, load_model_bundle
+from diffusion_edf_tpu.serve import AgentService, run_server
+from diffusion_edf_tpu.serve.trajectories import (
+    compute_pre_pick_trajectory,
+    compute_pre_place_trajectory,
+)
+from diffusion_edf_tpu.train.synthetic import make_synthetic_demo
+
+from .test_train import TASK_CFG, TINY_MODEL, TRAIN_CFG
+
+PREPROCESS = [
+    dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+    dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+]
+UNPROCESS = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+
+DIFF_CFG = dict(
+    N_steps_list=[[4, 4]],
+    timesteps_list=[[0.04, 0.02]],
+    temperatures_list=[[1.0, 1.0]],
+    diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.02]]],
+    log_t_schedule=True,
+    time_exponent_temp=1.0,
+    time_exponent_alpha=0.5,
+)
+
+
+@pytest.fixture(scope="module")
+def agent(tmp_path_factory):
+    d = tmp_path_factory.mktemp("agentcfg")
+    with open(d / "train_configs.yaml", "w") as f:
+        yaml.safe_dump(TRAIN_CFG, f)
+    with open(d / "task_configs.yaml", "w") as f:
+        yaml.safe_dump(TASK_CFG, f)
+    with open(d / "score_model_configs.yaml", "w") as f:
+        yaml.safe_dump(TINY_MODEL, f)
+    bundle = load_model_bundle(str(d), n_scene_pad=256, n_grasp_pad=96)
+    return DiffusionEdfAgent([bundle], PREPROCESS, UNPROCESS)
+
+
+def test_agent_sample(agent):
+    demo = make_synthetic_demo(0, n_scene=600, n_grasp=150)[0]
+    Ts_init = np.asarray([[1.0, 0, 0, 0, 0.0, 0.3, 0.1], [1.0, 0, 0, 0, 0.05, 0.35, 0.1]])
+    traj, scene_p, grasp_p, info = agent.sample(
+        demo.scene_pcd, demo.grasp_pcd, Ts_init, key=jax.random.PRNGKey(0), **DIFF_CFG
+    )
+    assert traj.shape[1] == 2 and traj.shape[2] == 7
+    assert traj.shape[0] == 9  # 8 steps + seed
+    np.testing.assert_allclose(np.linalg.norm(traj[-1, :, :4], axis=-1), 1.0, atol=1e-4)
+    # meters round trip
+    m = agent.unprocess_poses(traj[-1])
+    np.testing.assert_allclose(m[:, 4:], traj[-1][:, 4:] * 0.01, atol=1e-6)
+
+
+def test_trajectories():
+    pose = np.array([1.0, 0, 0, 0, 0.1, 0.2, 0.3])
+    pre = compute_pre_pick_trajectory(pose, approach_len=0.1, n_steps=5)
+    assert pre.shape == (5, 7)
+    np.testing.assert_allclose(pre[-1], pose, atol=1e-8)
+    np.testing.assert_allclose(np.linalg.norm(pre[0, 4:] - pose[4:]), 0.1, atol=1e-6)
+
+    scene = np.random.RandomState(0).randn(200, 3) * 0.1
+    grasp = np.random.RandomState(1).randn(50, 3) * 0.02
+    prep = compute_pre_place_trajectory(pose, scene, grasp, n_steps=6)
+    assert prep.shape == (6, 7)
+    np.testing.assert_allclose(prep[-1], pose, atol=1e-8)
+
+
+def test_http_server(agent):
+    demo = make_synthetic_demo(1, n_scene=400, n_grasp=120)[0]
+    service = AgentService(
+        pick_agent=agent,
+        place_agent=None,
+        configs={"pick_diffusion_configs": DIFF_CFG, "pick_trajectory_configs": {"approach_len": 0.1, "n_steps": 4}},
+    )
+    httpd = run_server(service, host="127.0.0.1", port=18329, block=False)
+    try:
+        # health + configs
+        with urllib.request.urlopen("http://127.0.0.1:18329/get_configs") as r:
+            cfg = json.loads(r.read())
+        assert "pick_diffusion_configs" in cfg
+
+        req = {
+            "task_type": "pick",
+            "scene": {"points": demo.scene_pcd.points.tolist(), "colors": demo.scene_pcd.colors.tolist()},
+            "grasp": {"points": demo.grasp_pcd.points.tolist(), "colors": demo.grasp_pcd.colors.tolist()},
+            "Ts_init": [[1.0, 0, 0, 0, 0.0, 0.3, 0.1]],
+        }
+        data = json.dumps(req).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                "http://127.0.0.1:18329/request_trajectories", data=data,
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        out = json.loads(r.read())
+        trajs = np.asarray(out["trajectories"])
+        assert trajs.shape[0] == 1 and trajs.shape[1] == 4 and trajs.shape[2] == 7
+
+        # reconfigure round trip
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                "http://127.0.0.1:18329/reconfigure",
+                data=json.dumps({"foo": 1}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        assert json.loads(r.read())["foo"] == 1
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,47 @@
+"""All generated config trees must build valid models (construction-level),
+and a representative subset must trace (eval_shape) without errors."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from diffusion_edf_tpu.models.data import FeaturedPoints
+from diffusion_edf_tpu.train.factory import build_score_model
+
+CFG_ROOT = os.path.join(os.path.dirname(__file__), "..", "diffusion_edf_tpu", "configs")
+ALL_MODEL_CFGS = sorted(glob.glob(os.path.join(CFG_ROOT, "*", "*", "score_model_configs.yaml")))
+
+
+@pytest.mark.parametrize("path", ALL_MODEL_CFGS, ids=lambda p: "/".join(p.split(os.sep)[-3:-1]))
+def test_config_builds(path):
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    assert model is not None
+
+
+@pytest.mark.parametrize(
+    "rel",
+    ["panda_mug/place_lowres", "sapien/pick_lowres"],
+)
+def test_config_traces(rel):
+    """eval_shape the full score forward for non-static-keypoint variants
+    (KeypointExtractor query; PointAttentiveScoreModel key)."""
+    path = os.path.join(CFG_ROOT, rel, "score_model_configs.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    n_scene, n_grasp, n_pose = 96, 64, 2
+    scene = FeaturedPoints(
+        x=jnp.zeros((n_scene, 3)), f=jnp.zeros((n_scene, 3)), mask=jnp.ones(n_scene, bool)
+    )
+    grasp = FeaturedPoints(
+        x=jnp.zeros((n_grasp, 3)), f=jnp.zeros((n_grasp, 3)), mask=jnp.ones(n_grasp, bool)
+    )
+    Ts = jnp.concatenate([jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n_pose, 1)), jnp.zeros((n_pose, 3))], -1)
+    time = jnp.full((n_pose,), 0.5)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), Ts, scene, grasp, time)
+    assert shapes is not None
