@@ -1,0 +1,157 @@
+"""Evaluation harness: pose-quality metrics for sampled pick/place poses.
+
+Replicates the flow of the reference's evaluation notebooks
+(``evaluate_real_mug.ipynb`` etc.: seed poses -> cascaded denoising ->
+compare against demo target poses) as a scriptable harness with quantitative
+metrics — the reference only offers visual inspection (SURVEY.md §4).
+
+Metrics per demo: translation error (cm) and rotation error (deg) of each
+final sample to its nearest target pose, plus success@(1 cm, 5 deg) — the
+BASELINE.md fidelity tolerance.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["pose_errors", "evaluate_agent", "main"]
+
+
+def pose_errors(samples: np.ndarray, targets: np.ndarray) -> Dict[str, np.ndarray]:
+    """samples (nS, 7), targets (nT, 7) -> per-sample nearest-target errors.
+
+    Rotation error: geodesic angle between quaternions; translation: L2.
+    """
+    samples = np.asarray(samples, dtype=np.float64).reshape(-1, 7)
+    targets = np.asarray(targets, dtype=np.float64).reshape(-1, 7)
+    qs, ts = samples[:, :4], samples[:, 4:]
+    qt, tt = targets[:, :4], targets[:, 4:]
+    qs = qs / np.linalg.norm(qs, axis=-1, keepdims=True)
+    qt = qt / np.linalg.norm(qt, axis=-1, keepdims=True)
+    dots = np.abs(qs @ qt.T)  # (nS, nT)
+    ang = 2.0 * np.arccos(np.clip(dots, -1.0, 1.0)) * 180.0 / np.pi
+    trans = np.linalg.norm(ts[:, None, :] - tt[None, :, :], axis=-1)
+    # nearest target by combined normalized distance
+    combo = trans / 1.0 + ang / 5.0
+    nearest = np.argmin(combo, axis=1)
+    idx = np.arange(len(samples))
+    return {
+        "trans_err": trans[idx, nearest],
+        "rot_err_deg": ang[idx, nearest],
+    }
+
+
+def evaluate_agent(
+    agent,
+    demos,
+    task_type: str = "pick",
+    n_seeds: int = 10,
+    diffusion_configs: Optional[Dict] = None,
+    seed: int = 0,
+    success_trans_cm: float = 1.0,
+    success_rot_deg: float = 5.0,
+) -> Dict:
+    """Run the agent on every demo; return aggregate pose metrics.
+
+    ``demos``: list of DemoSequence; targets are compared in model (cm) units.
+    """
+    step_idx = 0 if task_type == "pick" else 1
+    cfg = diffusion_configs or dict(
+        N_steps_list=[[150, 150]],
+        timesteps_list=[[0.04, 0.02]],
+        temperatures_list=[[1.0, 0.3]],
+        diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.01]]],
+        log_t_schedule=True,
+        time_exponent_temp=1.0,
+        time_exponent_alpha=0.5,
+    )
+    rng = np.random.default_rng(seed)
+    all_trans, all_rot = [], []
+    per_demo = []
+    for di, seq in enumerate(demos):
+        demo = seq[step_idx]
+        # seed poses: random rotations, translations sampled near the scene
+        center = demo.scene_pcd.points.mean(0)
+        spread = demo.scene_pcd.points.std(0).mean() + 0.05
+        q = rng.normal(size=(n_seeds, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        t = center + rng.normal(scale=spread, size=(n_seeds, 3))
+        Ts_init = np.concatenate([q, t], axis=-1)
+
+        traj, scene_p, grasp_p, info = agent.sample(
+            demo.scene_pcd, demo.grasp_pcd, Ts_init,
+            key=jax.random.PRNGKey(seed + di), record_trajectory=False, **cfg,
+        )
+        final = traj[-1]  # (nSeeds, 7) in cm units
+        # targets in cm (preprocess rescale applied to a copy)
+        from .train.data import TargetPoseDemo
+
+        target_proc = agent.proc_fn(
+            TargetPoseDemo(
+                scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd, target_poses=demo.target_poses
+            )
+        ).target_poses
+        errs = pose_errors(final, target_proc)
+        all_trans.append(errs["trans_err"])
+        all_rot.append(errs["rot_err_deg"])
+        per_demo.append(
+            {
+                "demo": getattr(demo, "name", str(di)),
+                "trans_err_cm_median": float(np.median(errs["trans_err"])),
+                "rot_err_deg_median": float(np.median(errs["rot_err_deg"])),
+                "best_trans_err_cm": float(errs["trans_err"].min()),
+                "best_rot_err_deg": float(errs["rot_err_deg"].min()),
+            }
+        )
+    trans = np.concatenate(all_trans)
+    rot = np.concatenate(all_rot)
+    success = (trans <= success_trans_cm) & (rot <= success_rot_deg)
+    return {
+        "n_demos": len(per_demo),
+        "n_samples": int(len(trans)),
+        "trans_err_cm": {"mean": float(trans.mean()), "median": float(np.median(trans))},
+        "rot_err_deg": {"mean": float(rot.mean()), "median": float(np.median(rot))},
+        "success_rate": float(success.mean()),
+        "best_sample_success_rate": float(
+            np.mean([d["best_trans_err_cm"] <= success_trans_cm and d["best_rot_err_deg"] <= success_rot_deg for d in per_demo])
+        ),
+        "per_demo": per_demo,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a diffusion-EDF agent")
+    p.add_argument("--configs-root-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--task-type", default="pick", choices=["pick", "place"])
+    p.add_argument("--n-seeds", type=int, default=10)
+    p.add_argument("--synthetic-demos", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from .agent import DiffusionEdfAgent, load_model_bundle
+    from .train.synthetic import make_synthetic_dataset
+
+    bundle = load_model_bundle(args.configs_root_dir, checkpoint_dir=args.checkpoint_dir)
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+    agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
+    demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
+    report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed)
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

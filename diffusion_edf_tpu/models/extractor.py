@@ -91,6 +91,7 @@ class _ScaleLayer(nn.Module):
     radius: float
     irreps_mlp_mid: int = 3
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     irreps_head: Optional[Irreps] = None
 
     @nn.compact
@@ -107,7 +108,7 @@ class _ScaleLayer(nn.Module):
             fc_neurons=tuple(self.fc_neurons),
             irreps_head=self.irreps_head,
             irreps_mlp_mid=self.irreps_mlp_mid,
-            alpha_drop=self.alpha_drop,
+            alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
             use_edge_logits=False,
             name="gnn",
         )(src, dst, edges, deterministic=deterministic)
@@ -131,6 +132,7 @@ class _DownPath(nn.Module):
     k_self: Sequence[int]
     irreps_mlp_mid: int = 3
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
@@ -179,7 +181,7 @@ class _DownPath(nn.Module):
                 fc_neurons=tuple(self.fc_neurons[n]),
                 radius=self.radii[n],
                 irreps_mlp_mid=self.irreps_mlp_mid,
-                alpha_drop=self.alpha_drop,
+                alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                 name=f"pool_layer_{n}",
             )(src, dst, pool_edges, deterministic=deterministic)
             stack.append(points)
@@ -195,7 +197,7 @@ class _DownPath(nn.Module):
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=self.radii[n],
                     irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop,
+                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                     name=f"self_layer_{n}_{i}",
                 )(points, points, self_edges, deterministic=deterministic)
                 stack.append(points)
@@ -222,6 +224,7 @@ class ForwardOnlyFeatureExtractor(nn.Module):
     k_self: Sequence[int] = (32, 32, 32, 32)
     irreps_mlp_mid: int = 3
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
@@ -239,7 +242,7 @@ class ForwardOnlyFeatureExtractor(nn.Module):
             k_pool=tuple(self.k_pool),
             k_self=tuple(self.k_self),
             irreps_mlp_mid=self.irreps_mlp_mid,
-            alpha_drop=self.alpha_drop,
+            alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
             deterministic_fps=self.deterministic_fps,
             name="down",
         )(pcd, deterministic=deterministic)
@@ -268,6 +271,7 @@ class UnetFeatureExtractor(nn.Module):
     k_up: Sequence[int] = (12, 12, 12, 12)
     irreps_mlp_mid: int = 3
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
@@ -287,7 +291,7 @@ class UnetFeatureExtractor(nn.Module):
             k_pool=tuple(self.k_pool),
             k_self=tuple(self.k_self),
             irreps_mlp_mid=self.irreps_mlp_mid,
-            alpha_drop=self.alpha_drop,
+            alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
             deterministic_fps=self.deterministic_fps,
             name="down",
         )(pcd, deterministic=deterministic)
@@ -305,7 +309,7 @@ class UnetFeatureExtractor(nn.Module):
                 fc_neurons=tuple(self.fc_neurons[-1]),
                 radius=radii[-1],
                 irreps_mlp_mid=self.irreps_mlp_mid,
-                alpha_drop=self.alpha_drop,
+                alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                 name=f"mid_layer_{i}",
             )(points, points, mid_edges, deterministic=deterministic)
 
@@ -327,7 +331,7 @@ class UnetFeatureExtractor(nn.Module):
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=radii[n],
                     irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop,
+                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                     name=f"up_self_layer_{n}_{i}",
                 )(points, dst, scale_edges[n], deterministic=deterministic)
             upstream_outputs.append(points)
@@ -351,7 +355,7 @@ class UnetFeatureExtractor(nn.Module):
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=radii[n],
                     irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop,
+                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                     irreps_head=multiply_irreps(emb[max(n - 1, 0)], 1.0 / self.num_heads[n], strict=True),
                     name=f"unpool_layer_{n}",
                 )(points, dst, up_edges, deterministic=deterministic)

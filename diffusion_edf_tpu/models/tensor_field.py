@@ -44,6 +44,7 @@ class MultiscaleTensorField(nn.Module):
     n_layers: int = 1
     irreps_mlp_mid: int = 3
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     use_src_point_attn: bool = False
     cutoff_method: str = "edge_attn"
 
@@ -161,7 +162,7 @@ class MultiscaleTensorField(nn.Module):
             num_heads=self.num_heads,
             fc_neurons=tuple(fc_neurons),
             irreps_mlp_mid=self.irreps_mlp_mid,
-            alpha_drop=self.alpha_drop,
+            alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
             use_dst_feature=use_dst,
             use_src_point_attn=self.use_src_point_attn,
             use_edge_logits=use_edge_weights,
@@ -177,7 +178,7 @@ class MultiscaleTensorField(nn.Module):
                 num_heads=self.num_heads,
                 fc_neurons=tuple(fc_neurons),
                 irreps_mlp_mid=self.irreps_mlp_mid,
-                alpha_drop=self.alpha_drop,
+                alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                 use_dst_feature=True,
                 use_src_point_attn=self.use_src_point_attn,
                 use_edge_logits=use_edge_weights,

@@ -78,6 +78,7 @@ class GraphAttention(nn.Module):
     irreps_head: Optional[Irreps] = None  # default: irreps_mid / num_heads
     irreps_mid: Optional[Irreps] = None  # default: irreps_input
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
 
     @nn.compact
     def __call__(
@@ -173,4 +174,10 @@ class GraphAttention(nn.Module):
         attn = jnp.einsum("...kh,...khf->...hf", alpha, val)  # (Nd, H, head_dim)
         attn = heads2vec(irreps_head, attn)  # (Nd, attn_dim)
         out = IrrepsLinear(irreps_attn, irreps_out, name="proj")(attn)
+        if self.proj_drop > 0.0:
+            from .layers import EquivariantDropout
+
+            out = EquivariantDropout(irreps=irreps_out, rate=self.proj_drop)(
+                out, deterministic=deterministic
+            )
         return out

@@ -55,9 +55,10 @@ class FeedForwardNetwork(nn.Module):
     irreps_in: Irreps
     irreps_out: Irreps
     irreps_mlp_mid: Optional[Irreps] = None
+    proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, f: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         irreps_in = Irreps(self.irreps_in)
         mid = Irreps(self.irreps_mlp_mid) if self.irreps_mlp_mid is not None else irreps_in
         s, g, t = irreps2gate(mid)
@@ -68,7 +69,14 @@ class FeedForwardNetwork(nn.Module):
             gate_in = (s + g + t).simplify()
             h = IrrepsLinear(irreps_in, gate_in, name="fctp1")(f)
             h = GateFromIrreps(irreps_out=mid)(h)
-        return IrrepsLinear(mid, Irreps(self.irreps_out), name="fctp2")(h)
+        h = IrrepsLinear(mid, Irreps(self.irreps_out), name="fctp2")(h)
+        if self.proj_drop > 0.0:
+            from .layers import EquivariantDropout
+
+            h = EquivariantDropout(irreps=Irreps(self.irreps_out), rate=self.proj_drop)(
+                h, deterministic=deterministic
+            )
+        return h
 
 
 class EquiformerBlock(nn.Module):
@@ -89,6 +97,7 @@ class EquiformerBlock(nn.Module):
     irreps_head: Optional[Irreps] = None
     irreps_mlp_mid: int = 3  # or Irreps
     alpha_drop: float = 0.1
+    proj_drop: float = 0.0
     use_dst_feature: bool = True
     skip_connection: bool = True
     use_src_point_attn: bool = False
@@ -130,6 +139,7 @@ class EquiformerBlock(nn.Module):
             num_heads=self.num_heads,
             irreps_head=self.irreps_head,
             alpha_drop=self.alpha_drop,
+            proj_drop=self.proj_drop,
             name="ga",
         )(
             message,
@@ -145,7 +155,10 @@ class EquiformerBlock(nn.Module):
             emb = emb + ProjectIfMismatch(irreps_dst, irreps_emb, layernorm=False, name="skip_1")(dst.f)
 
         out = EquivariantLayerNorm(irreps=irreps_emb, name="post_norm")(emb)
-        out = FeedForwardNetwork(irreps_in=irreps_emb, irreps_out=irreps_out, irreps_mlp_mid=mlp_mid, name="ffn")(out)
+        out = FeedForwardNetwork(
+            irreps_in=irreps_emb, irreps_out=irreps_out, irreps_mlp_mid=mlp_mid,
+            proj_drop=self.proj_drop, name="ffn",
+        )(out, deterministic=deterministic)
         if self.skip_connection:
             out = out + ProjectIfMismatch(irreps_emb, irreps_out, layernorm=False, name="skip_2")(emb)
 

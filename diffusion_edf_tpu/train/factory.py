@@ -33,7 +33,7 @@ def _fill_extractor(fe: Dict, k: Dict) -> Dict:
     if "n_layers_midstream" in fe:
         fe.setdefault("k_up", tuple([k["k_up"]] * n_scales))
     # drop reference-only knobs we intentionally do not carry
-    for legacy in ("pool_method", "attn_type", "proj_drop", "drop_path_rate", "output_scalespace"):
+    for legacy in ("pool_method", "attn_type", "drop_path_rate", "output_scalespace"):
         fe.pop(legacy, None)
     # list-or-scalar normalization: the reference accepts per-scale lists for
     # irreps_mlp_mid etc.; we keep the scalar form (all real configs use it).
@@ -41,6 +41,8 @@ def _fill_extractor(fe: Dict, k: Dict) -> Dict:
         fe["irreps_mlp_mid"] = fe["irreps_mlp_mid"][0]
     if isinstance(fe.get("alpha_drop"), list):
         fe["alpha_drop"] = fe["alpha_drop"][0]
+    if isinstance(fe.get("proj_drop"), list):
+        fe["proj_drop"] = fe["proj_drop"][0]
     return fe
 
 

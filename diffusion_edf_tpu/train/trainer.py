@@ -157,7 +157,8 @@ class DiffusionEdfTrainer:
         t_augment = self.t_augment
 
         def step_fn(params, opt_state, key, scene: FeaturedPoints, grasp: FeaturedPoints, T_target):
-            keys = jax.random.split(key, 2 * len(schedules) + 2)
+            keys = jax.random.split(key, 2 * len(schedules) + 3)
+            dropout_key = keys[-2]
 
             if t_augment is not None:
                 T_aug, _, _, _, _ = biequiv_diffusion(
@@ -186,7 +187,10 @@ class DiffusionEdfTrainer:
             tgt_lin = jnp.concatenate(tgt_lin, 0)
 
             def loss_fn(p):
-                ang, lin = model.apply(p, Ts, scene, grasp, times)
+                ang, lin = model.apply(
+                    p, Ts, scene, grasp, times,
+                    deterministic=False, rngs={"dropout": dropout_key},
+                )
                 return train_loss(ang, lin, tgt_ang, tgt_lin, times, ang_mult, lin_mult)
 
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

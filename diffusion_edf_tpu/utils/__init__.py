@@ -1,0 +1,2 @@
+"""Utilities: profiling, compilation cache, determinism helpers."""
+from .profiling import setup_compilation_cache, trace  # noqa: F401

@@ -1,0 +1,36 @@
+"""Profiling and compilation-cache control.
+
+The reference's only compilation control is env flags + explicit warmup loops
+to absorb e3nn codegen latency ("2~3 minutes", SURVEY.md §5.1).  Here:
+
+* :func:`setup_compilation_cache` enables JAX's persistent compilation cache
+  so the second process start skips XLA compiles entirely (the TPU answer to
+  the warmup problem);
+* :func:`trace` wraps ``jax.profiler`` traces for perfetto/tensorboard
+  inspection of device timelines.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Iterator, Optional
+
+import jax
+
+__all__ = ["setup_compilation_cache", "trace"]
+
+
+def setup_compilation_cache(cache_dir: str = "~/.cache/diffusion_edf_tpu_xla") -> str:
+    cache_dir = os.path.expanduser(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace", host_profile: bool = False) -> Iterator[None]:
+    """Profile a region: ``with trace('/tmp/t'): run()`` then inspect with
+    tensorboard or perfetto."""
+    with jax.profiler.trace(log_dir, create_perfetto_trace=host_profile):
+        yield
