@@ -1,0 +1,79 @@
+"""Pytree data containers: padded point clouds and padded neighborhoods.
+
+TPU-native redesign of the reference's ``FeaturedPoints``/``GraphEdge``
+NamedTuples (``/root/reference/diffusion_edf/gnn_data.py:12-124``):
+
+* no batch-index column — batching is ``vmap``/sharding over a leading axis;
+* every container carries a static-shape boolean validity ``mask`` instead of
+  ragged lengths;
+* edges are ``(N_dst, K)`` per-destination neighbor slots (index into the
+  source cloud) instead of flat edge lists, so segment reductions become
+  masked reductions over the K axis.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+__all__ = ["FeaturedPoints", "GraphEdges", "concat_edges"]
+
+
+@flax.struct.dataclass
+class FeaturedPoints:
+    x: jnp.ndarray  # (N, 3) positions
+    f: jnp.ndarray  # (N, F) irreps features
+    mask: jnp.ndarray  # (N,) bool validity
+    w: Optional[jnp.ndarray] = None  # (N,) optional scalar point weights
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+
+@flax.struct.dataclass
+class GraphEdges:
+    """Padded neighborhoods of one (possibly multiscale-concatenated) graph.
+
+    ``idx[i, k]`` is the source index of dst ``i``'s k-th neighbor slot; for
+    multiscale-concatenated edge sets the index addresses the *concatenated*
+    source cloud (offsets already applied, mirroring
+    ``multiscale_tensor_field.py:236-247``).
+    """
+
+    idx: jnp.ndarray  # (Nd, K) int32
+    mask: jnp.ndarray  # (Nd, K) bool
+    length: Optional[jnp.ndarray] = None  # (Nd, K)
+    attr: Optional[jnp.ndarray] = None  # (Nd, K, sh_dim) spherical harmonics
+    scalars: Optional[jnp.ndarray] = None  # (Nd, K, S) radial/context embedding
+    logits: Optional[jnp.ndarray] = None  # (Nd, K) log edge cutoff (pre-attn)
+    weights: Optional[jnp.ndarray] = None  # (Nd, K) edge cutoff weights
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[-1]
+
+
+def _cat(a: Optional[jnp.ndarray], b: Optional[jnp.ndarray], axis: int):
+    if a is None or b is None:
+        assert a is None and b is None
+        return None
+    return jnp.concatenate([a, b], axis=axis)
+
+
+def concat_edges(e1: GraphEdges, e2: GraphEdges) -> GraphEdges:
+    """Concatenate two edge sets over the K axis (same destination cloud).
+
+    Replaces ``cat_graph_edges`` (``gnn_data.py:166-217``): scale-flattened
+    attention over the union of neighborhoods.
+    """
+    return GraphEdges(
+        idx=jnp.concatenate([e1.idx, e2.idx], axis=1),
+        mask=jnp.concatenate([e1.mask, e2.mask], axis=1),
+        length=_cat(e1.length, e2.length, 1),
+        attr=_cat(e1.attr, e2.attr, 1),
+        scalars=_cat(e1.scalars, e2.scalars, 1),
+        logits=_cat(e1.logits, e2.logits, 1),
+        weights=_cat(e1.weights, e2.weights, 1),
+    )

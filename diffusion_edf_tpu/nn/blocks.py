@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..geom.irreps import Irreps, sort_irreps_even_first
-from ..models.data import FeaturedPoints, GraphEdges
+from ..data import FeaturedPoints, GraphEdges
 from .attention import GraphAttention
 from .layers import EquivariantLayerNorm, GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
 

@@ -35,6 +35,12 @@ from ..geom.irreps import Irrep, Irreps, sort_irreps_even_first
 
 __all__ = ["Instruction", "TPProgram", "dtp_instructions", "fctp_instructions", "apply_dtp", "apply_fctp"]
 
+# The batched-matmul reformulation (_apply_dtp_sh) is numerically identical
+# but measured SLOWER than the per-instruction loop on v5e (XLA lowers the
+# tiny-contraction batched matmuls poorly); kept for reference/испытание and
+# as the blueprint for the in-kernel (Pallas) DTP where it is the right shape.
+_USE_SH_FASTPATH = False
+
 
 @dataclasses.dataclass(frozen=True)
 class Instruction:
@@ -135,6 +141,78 @@ def _assemble(irreps: Irreps, blocks: List[Optional[jnp.ndarray]], batch_shape, 
     return jnp.concatenate(outs, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _sh_fastpath_meta(prog: TPProgram):
+    """Static metadata for the batched-matmul DTP fast path (all in2 muls==1).
+
+    Groups instructions by their *source entry* (i_in1); for each source entry
+    builds a dense coefficient tensor ``C_e (d1, dim2, Q_e)`` (Q_e = total
+    output components of that entry's paths, with the per-path w3j, component
+    normalization, fan-in rescale, and in2 slot offsets folded in), plus the
+    bookkeeping to scatter path outputs back into the canonical sorted output
+    layout and to expand per-path radial weights over output components.
+    """
+    dim2 = prog.irreps_in2.dim
+    in2_offsets = [s.start for s in prog.irreps_in2.slices()]
+    per_entry: dict = {}
+    for ins in prog.instructions:
+        per_entry.setdefault(ins.i_in1, []).append(ins)
+    metas = []
+    for e1, ins_list in sorted(per_entry.items()):
+        mul1, ir1 = prog.irreps_in1[e1]
+        d1 = ir1.dim
+        q_total = sum(prog.irreps_out[i.i_out][1].dim for i in ins_list)
+        C = np.zeros((d1, dim2, q_total))
+        q_off = 0
+        out_map = []  # (i_out, q_off, d3)
+        w_cols = []  # (w_start, d3)
+        for ins in ins_list:
+            d3 = prog.irreps_out[ins.i_out][1].dim
+            j0 = in2_offsets[ins.i_in2]
+            d2 = prog.irreps_in2[ins.i_in2][1].dim
+            C[:, j0 : j0 + d2, q_off : q_off + d3] = (
+                prog.w3j_for(ins) * prog.alpha[ins.i_out]
+            )
+            out_map.append((ins.i_out, q_off, d3))
+            w_cols.append((ins.w_start, d3))
+            q_off += d3
+        metas.append(
+            dict(e1=e1, mul1=mul1, d1=d1, C=C, out_map=tuple(out_map), w_cols=tuple(w_cols), q_total=q_total)
+        )
+    return tuple(metas)
+
+
+def _apply_dtp_sh(prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Fast path: two batched matmuls per source entry instead of one einsum
+    per instruction — the op-count/fusion-friendly TPU formulation."""
+    metas = _sh_fastpath_meta(prog)
+    batch = jnp.broadcast_shapes(
+        x1.shape[:-1], x2.shape[:-1], weight.shape[:-1] if weight.ndim > 1 else ()
+    )
+    slices1 = prog.irreps_in1.slices()
+    out_blocks: List[Optional[jnp.ndarray]] = [None] * len(prog.irreps_out)
+    for m in metas:
+        mul1, d1 = m["mul1"], m["d1"]
+        C = jnp.asarray(m["C"], dtype=x1.dtype)  # (d1, dim2, Q)
+        x1_e = x1[..., slices1[m["e1"]]].reshape(*x1.shape[:-1], mul1, d1)
+        # sh contraction: (..., dim2) x (d1, dim2, Q) -> (..., d1, Q)
+        Cw = jnp.einsum("...j,ijq->...iq", x2, C)
+        # node contraction: (..., mul1, d1) @ (..., d1, Q) -> (..., mul1, Q)
+        out_e = jnp.einsum("...ui,...iq->...uq", jnp.broadcast_to(x1_e, batch + (mul1, d1)), jnp.broadcast_to(Cw, batch + (d1, m["q_total"])))
+        # per-path radial weights expanded over output components
+        w_cols = []
+        for ws, d3 in m["w_cols"]:
+            w_cols.append(jnp.broadcast_to(weight[..., ws : ws + mul1, None], batch + (mul1, d3)))
+        w_e = jnp.concatenate(w_cols, axis=-1)  # (..., mul1, Q)
+        out_e = out_e * w_e
+        q = 0
+        for i_out, q_off, d3 in m["out_map"]:
+            blk = out_e[..., :, q_off : q_off + d3].reshape(*batch, mul1 * d3)
+            out_blocks[i_out] = blk if out_blocks[i_out] is None else out_blocks[i_out] + blk
+            q += d3
+    return _assemble(prog.irreps_out, out_blocks, batch, x1.dtype)
+
+
 def apply_dtp(
     prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray
 ) -> jnp.ndarray:
@@ -142,7 +220,17 @@ def apply_dtp(
 
     x1: (..., dim1) node features; x2: (..., dim2) edge attr; weight:
     (..., weight_numel) or (weight_numel,) shared.
+
+    When every in2 entry has multiplicity 1 (the spherical-harmonic edge-attr
+    case — the hot path of every attention block) a batched-matmul
+    formulation replaces the per-instruction einsum loop (see
+    ``_apply_dtp_sh``); the generic loop remains for mul2 > 1 (score-head
+    prescore TPs).
     """
+    if _USE_SH_FASTPATH and all(mul == 1 for mul, _ in prog.irreps_in2):
+        if weight.ndim == 1:
+            weight = weight[None, :]  # shared weights broadcast
+        return _apply_dtp_sh(prog, x1, x2, weight)
     b1 = _blocks(prog.irreps_in1, x1)
     b2 = _blocks(prog.irreps_in2, x2)
     batch = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1], weight.shape[:-1] if weight.ndim > 1 else ())
