@@ -37,8 +37,7 @@ __all__ = ["Instruction", "TPProgram", "dtp_instructions", "fctp_instructions", 
 
 # The batched-matmul reformulation (_apply_dtp_sh) is numerically identical
 # but measured SLOWER than the per-instruction loop on v5e (XLA lowers the
-# tiny-contraction batched matmuls poorly); kept for reference/испытание and
-# as the blueprint for the in-kernel (Pallas) DTP where it is the right shape.
+# tiny-contraction batched matmuls poorly); kept as the blueprint for the in-kernel (Pallas) DTP where it is the right shape.
 _USE_SH_FASTPATH = False
 
 
