@@ -198,6 +198,21 @@ class DiffusionEdfAgent:
         return Ts_out, scene_p, grasp_p, info
 
     # ------------------------------------------------------------------ #
+    def warmup(self, scene_pcd: PointCloud, grasp_pcd: PointCloud, n_seeds: int = 1) -> None:
+        """Pre-compile the full sampling path for the given input shapes
+        (reference ``warmup_score_model``, ``trainer.py:504-547``; on TPU the
+        persistent compilation cache — ``utils.profiling`` — makes this a
+        one-time cost per shape)."""
+        Ts = np.concatenate([np.tile([[1.0, 0, 0, 0]], (n_seeds, 1)), np.zeros((n_seeds, 3))], -1)
+        self.sample(
+            scene_pcd, grasp_pcd, Ts,
+            N_steps_list=[[1] for _ in self.models],
+            timesteps_list=[[0.01] for _ in self.models],
+            temperatures_list=[[1.0] for _ in self.models],
+            diffusion_schedules_list=[[[1.0, 0.9]] for _ in self.models],
+            record_trajectory=False,
+        )
+
     def unprocess_poses(self, Ts: np.ndarray) -> np.ndarray:
         """cm -> meters on the translation part (``agent_server.py:194-221``)."""
         Ts = np.asarray(Ts)

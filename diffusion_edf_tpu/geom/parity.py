@@ -1,0 +1,33 @@
+"""Parity utilities (reference ``utils.py:26-47`` ``ParityInversionSh``).
+
+The UNet up-path of the reference flips odd-degree SH components when
+reusing down-edges with src/dst swapped; our extractor recomputes SH of the
+negated edge vector instead (mathematically identical), but the utility is
+provided for API parity and external use.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .irreps import Irreps
+
+__all__ = ["parity_inversion_sh", "parity_sign_vector"]
+
+
+def parity_sign_vector(irreps: Irreps) -> np.ndarray:
+    """(+1 for even-l blocks, -1 for odd-l blocks) per component."""
+    irreps = Irreps(irreps)
+    sign = np.ones(irreps.dim)
+    i = 0
+    for mul, ir in irreps:
+        n = mul * ir.dim
+        if ir.l % 2 == 1:
+            sign[i : i + n] = -1.0
+        i += n
+    return sign
+
+
+def parity_inversion_sh(irreps: Irreps, f: jnp.ndarray) -> jnp.ndarray:
+    """Apply the spatial-inversion sign flip ``Y_l(-r) = (-1)^l Y_l(r)``."""
+    return f * jnp.asarray(parity_sign_vector(Irreps(irreps)), dtype=f.dtype)

@@ -28,6 +28,9 @@ __all__ = [
     "se3_invert",
     "transform_points",
     "se3_from_quat_trans",
+    "se3_exp_map",
+    "se3_log_map",
+    "quaternion_to_axis_angle",
 ]
 
 
@@ -175,3 +178,51 @@ def transform_points(points: jnp.ndarray, Ts: jnp.ndarray) -> jnp.ndarray:
     q = Ts[..., None, :4]
     t = Ts[..., None, 4:]
     return quaternion_apply(q, points) + t
+
+
+def se3_exp_map(log_vec: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) exponential map: (..., 6) twist ``(v, w)`` (translation first,
+    matching ``transforms.se3_exp_map``/``score_model_base.py:195``) -> pose
+    7-vector ``(q, t)`` with ``t = V(w) v``."""
+    v, w = log_vec[..., :3], log_vec[..., 3:]
+    theta = jnp.linalg.norm(w + 1e-30, axis=-1, keepdims=True)
+    q = axis_angle_to_quaternion(w)
+    # V = I + (1-cos)/th^2 [w]x + (th - sin)/th^3 [w]x^2, series for small th
+    small = theta < 1e-4
+    A = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta**2, 1e-30))
+    B = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (theta - jnp.sin(theta)) / jnp.maximum(theta**3, 1e-30))
+    wxv = jnp.cross(w, v)
+    wxwxv = jnp.cross(w, wxv)
+    t = v + A * wxv + B * wxwxv
+    return jnp.concatenate([q, t], axis=-1)
+
+
+def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion -> rotation vector (stable small-angle branch)."""
+    q = standardize_quaternion(q)
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    v = q[..., 1:]
+    sin_half = jnp.linalg.norm(v + 1e-30, axis=-1, keepdims=True)
+    half = jnp.arctan2(sin_half, w)
+    small = sin_half < 1e-6
+    scale = jnp.where(small, 2.0 + (2.0 / 3.0) * half * half, 2.0 * half / jnp.where(small, 1.0, sin_half))
+    return v * scale
+
+
+def se3_log_map(T: jnp.ndarray) -> jnp.ndarray:
+    """Pose 7-vector -> (..., 6) twist ``(v, w)`` (``transforms.se3_log_map``)."""
+    q, t = T[..., :4], T[..., 4:]
+    w = quaternion_to_axis_angle(q)
+    theta = jnp.linalg.norm(w + 1e-30, axis=-1, keepdims=True)
+    small = theta < 1e-4
+    # V^{-1} = I - 1/2 [w]x + k [w]x^2,  k = (1 - th*sin/(2(1-cos))) / th^2
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    k = jnp.where(
+        small,
+        1.0 / 12.0 + theta**2 / 720.0,
+        (1.0 - 0.5 * theta * sin_t / jnp.maximum(1.0 - cos_t, 1e-30)) / jnp.maximum(theta**2, 1e-30),
+    )
+    wxt = jnp.cross(w, t)
+    wxwxt = jnp.cross(w, wxt)
+    v = t - 0.5 * wxt + k * wxwxt
+    return jnp.concatenate([v, w], axis=-1)

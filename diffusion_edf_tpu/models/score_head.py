@@ -125,12 +125,20 @@ class ScoreModelHead(nn.Module):
         )
 
         if self.edge_time_encoding:
-            ctx = []
-            for n in range(self.n_scales):
-                te = _TimeMLP(tuple(self.time_emb_mlp[1:]), name=f"time_mlp_{n}")(time_enc)
-                ctx.append(
-                    jnp.broadcast_to(te[:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
-                )
+            # all per-scale time MLPs batched into one (vmapped params)
+            ScaleTimeMLPs = nn.vmap(
+                _TimeMLP,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=self.n_scales,
+            )
+            tes = ScaleTimeMLPs(tuple(self.time_emb_mlp[1:]), name="time_mlps")(time_enc)
+            ctx = [
+                jnp.broadcast_to(tes[n][:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
+                for n in range(self.n_scales)
+            ]
         else:
             ctx = None
 
@@ -139,27 +147,27 @@ class ScoreModelHead(nn.Module):
         ).f  # (nT*nQ, Fk)
         f_t_flat = f_t.reshape(nT * nQ, -1)
 
-        # ---- prescore tensor products ----
+        # ---- prescore tensor products (lin + ang stacked into one pass) ----
         n_pre = (irreps_query.count((1, 1)) + irreps_key.count((1, 1))) // 2
         irreps_pre = Irreps(f"1x0e+{n_pre}x1e")
-        lin_vel = SeparableFCTP(
+        TwinTP = nn.vmap(
+            SeparableFCTP,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=2,
+        )
+        both = TwinTP(
             irreps_in=irreps_key,
             irreps_edge=irreps_query,
             irreps_out=irreps_pre,
             fc_neurons=None,
             use_activation=True,
             internal_weights=True,
-            name="lin_vel_tp",
+            name="vel_tps",
         )(key_features, f_t_flat)[..., 1:]
-        ang_spin = SeparableFCTP(
-            irreps_in=irreps_key,
-            irreps_edge=irreps_query,
-            irreps_out=irreps_pre,
-            fc_neurons=None,
-            use_activation=True,
-            internal_weights=True,
-            name="ang_vel_tp",
-        )(key_features, f_t_flat)[..., 1:]
+        lin_vel, ang_spin = both[0], both[1]
 
         lin_vel = lin_vel.reshape(nT, nQ, n_pre, 3).mean(axis=-2)  # (nT, nQ, 3)
         ang_spin = ang_spin.reshape(nT, nQ, n_pre, 3).mean(axis=-2)

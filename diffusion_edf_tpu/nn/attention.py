@@ -119,10 +119,18 @@ class GraphAttention(nn.Module):
         )
         mid = dtp1(message, edge_attr, w)  # (Nd, K, F_dtp)
 
-        # --- alpha branch: linear -> heads -> smooth leaky relu -> GATv2 dot ---
-        log_alpha = IrrepsLinear(
-            dtp1.irreps_out, Irreps(f"{mul_alpha}x0e"), name="sep_alpha"
+        # --- alpha + value linears merged into ONE matmul on the DTP output
+        # (the reference's sep_alpha and sep_act.lin read the same tensor,
+        # ``graph_attention.py:233-235``) ---
+        s, g, t = irreps2gate(irreps_mid)
+        val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
+        combined = IrrepsLinear(
+            dtp1.irreps_out,
+            Irreps(f"{mul_alpha}x0e") + val_out_irreps,
+            name="sep_alpha_value",
         )(mid)
+        log_alpha = combined[..., :mul_alpha]
+        val_pre = combined[..., mul_alpha:]
         log_alpha = log_alpha.reshape(*log_alpha.shape[:-1], H, mul_alpha_head)
         log_alpha = smooth_leaky_relu(log_alpha) * smooth_leaky_relu_norm()
         alpha_dot = self.param(
@@ -133,15 +141,11 @@ class GraphAttention(nn.Module):
         )
         log_alpha = jnp.einsum("...hk,hk->...h", log_alpha, alpha_dot)  # (Nd, K, H)
 
-        # --- value branch: gate(linear(mid)) -> second DTP (internal weights) ---
-        s, g, t = irreps2gate(irreps_mid)
+        # --- value branch: gate -> second DTP (internal weights) ---
         if g.dim == 0:
-            val = IrrepsLinear(dtp1.irreps_out, irreps_mid, name="sep_act_lin")(mid)
-            val = scalar_silu(val)
+            val = scalar_silu(val_pre)
         else:
-            gate_in = (s + g + t).simplify()
-            val = IrrepsLinear(dtp1.irreps_out, gate_in, name="sep_act_lin")(mid)
-            val = GateFromIrreps(irreps_out=irreps_mid)(val)
+            val = GateFromIrreps(irreps_out=irreps_mid)(val_pre)
         val = SeparableFCTP(
             irreps_in=irreps_mid,
             irreps_edge=irreps_edge,

@@ -40,43 +40,102 @@ def norm_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
 class IrrepsLinear(nn.Module):
     """Per-degree linear map on irreps features with fan-in rescale + scalar
     bias (``LinearRS``).  Output entries with no matching input degree are
-    zeros (+bias for even scalars)."""
+    zeros (+bias for even scalars).
+
+    Execution: the per-degree block weights are assembled into ONE dense
+    block-diagonal ``(dim_in, dim_out)`` matrix at trace time (kron with the
+    identity on the component axis — a handful of param-sized ops), so the
+    whole layer is a single MXU matmul regardless of how many irrep entries
+    there are.  This matters on TPU where per-op overhead dominates the tiny
+    per-degree matmuls.
+    """
 
     irreps_in: Irreps
     irreps_out: Irreps
     use_bias: bool = True
+    # densify into one matmul when the wasted FLOPs stay below this expansion
+    # factor (dense dim_in*dim_out vs true block work); beyond it the
+    # per-degree einsum loop wins.
+    dense_max_waste: float = 8.0
 
     @nn.compact
     def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
         irreps_in, irreps_out = Irreps(self.irreps_in), Irreps(self.irreps_out)
         assert f.shape[-1] == irreps_in.dim, (f.shape, irreps_in)
         batch = f.shape[:-1]
-        # gather input blocks per (l, p)
-        in_blocks = {}
-        i = 0
-        for mul, ir in irreps_in:
-            blk = f[..., i : i + mul * ir.dim].reshape(*batch, mul, ir.dim)
-            i += mul * ir.dim
-            in_blocks.setdefault(ir, []).append(blk)
-        outs = []
+        in_slices = irreps_in.slices()
+        out_slices = irreps_out.slices()
+        # group input entries per irrep type
+        in_by_ir = {}
+        for ii, (mul, ir) in enumerate(irreps_in):
+            in_by_ir.setdefault(ir, []).append(ii)
+
+        true_work = 0
         for oi, (mul_out, ir) in enumerate(irreps_out):
-            if ir in in_blocks:
-                x = jnp.concatenate(in_blocks[ir], axis=-2)  # (..., mul_in, d)
-                mul_in = x.shape[-2]
+            if ir in in_by_ir:
+                mul_in = sum(irreps_in[ii][0] for ii in in_by_ir[ir])
+                true_work += mul_in * mul_out * ir.dim
+        dense_work = irreps_in.dim * irreps_out.dim
+        use_dense = true_work > 0 and dense_work <= self.dense_max_waste * true_work
+
+        params = {}
+        for oi, (mul_out, ir) in enumerate(irreps_out):
+            if ir in in_by_ir:
+                mul_in = sum(irreps_in[ii][0] for ii in in_by_ir[ir])
                 w = self.param(
                     f"w{oi}_{ir}",
                     nn.initializers.uniform(scale=2.0),  # U(0,2) -> shift to U(-1,1)
                     (mul_in, mul_out),
                     f.dtype,
                 )
-                w = w - 1.0
-                y = jnp.einsum("...ud,uw->...wd", x, w) / np.sqrt(mul_in)
+                params[oi] = (w - 1.0) / np.sqrt(mul_in)
+
+        if use_dense:
+            W = jnp.zeros((irreps_in.dim, irreps_out.dim), dtype=f.dtype)
+            bias_full = jnp.zeros((irreps_out.dim,), dtype=f.dtype)
+            any_bias = False
+            for oi, (mul_out, ir) in enumerate(irreps_out):
+                d = ir.dim
+                if oi in params:
+                    w = params[oi]
+                    eye = jnp.eye(d, dtype=f.dtype)
+                    u0 = 0
+                    for ii in in_by_ir[ir]:
+                        mi = irreps_in[ii][0]
+                        blk = jnp.einsum("uw,de->udwe", w[u0 : u0 + mi], eye).reshape(
+                            mi * d, mul_out * d
+                        )
+                        W = jax.lax.dynamic_update_slice(
+                            W, blk, (in_slices[ii].start, out_slices[oi].start)
+                        )
+                        u0 += mi
+                if self.use_bias and ir == Irrep(0, 1):
+                    b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), f.dtype)
+                    bias_full = jax.lax.dynamic_update_slice(bias_full, b, (out_slices[oi].start,))
+                    any_bias = True
+            out = f @ W
+            if self.use_bias and any_bias:
+                out = out + bias_full
+            return out
+
+        # per-degree einsum path (no wasted FLOPs; used for wide/sparse maps
+        # like the post-DTP linear)
+        outs = []
+        for oi, (mul_out, ir) in enumerate(irreps_out):
+            d = ir.dim
+            if oi in params:
+                blocks = [
+                    f[..., in_slices[ii]].reshape(*batch, irreps_in[ii][0], d)
+                    for ii in in_by_ir[ir]
+                ]
+                x = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-2)
+                y = jnp.einsum("...ud,uw->...wd", x, params[oi])
             else:
-                y = jnp.zeros(batch + (mul_out, ir.dim), dtype=f.dtype)
+                y = jnp.zeros(batch + (mul_out, d), dtype=f.dtype)
             if self.use_bias and ir == Irrep(0, 1):
                 b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), f.dtype)
                 y = y + b[..., :, None]
-            outs.append(y.reshape(*batch, mul_out * ir.dim))
+            outs.append(y.reshape(*batch, mul_out * d))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -89,38 +148,64 @@ class EquivariantLayerNorm(nn.Module):
     eps: float = 1e-5
     affine: bool = True
 
-    @nn.compact
-    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
-        irreps = Irreps(self.irreps)
-        batch = f.shape[:-1]
-        outs = []
+    @staticmethod
+    @__import__("functools").lru_cache(maxsize=None)
+    def _matrices(irreps: Irreps):
+        """Static matrices turning the per-entry loop into 3 small matmuls:
+        M (dim, G) averages scalar-entry components; S (dim, G) averages
+        squared components per entry; E (G, dim) entry membership."""
+        import numpy as _np
+
+        irreps = Irreps(irreps)
+        dim, G = irreps.dim, len(irreps)
+        M = _np.zeros((dim, G))
+        S = _np.zeros((dim, G))
+        E = _np.zeros((G, dim))
+        inst_of_comp = _np.zeros(dim, dtype=_np.int64)  # irrep-instance index
+        scalar_comp = _np.zeros(dim)
+        scalar_inst_of_comp = _np.zeros(dim, dtype=_np.int64)
         i = 0
         iw = 0
         ib = 0
+        for g, (mul, ir) in enumerate(irreps):
+            d = ir.dim
+            n = mul * d
+            S[i : i + n, g] = 1.0 / n
+            E[g, i : i + n] = 1.0
+            for u in range(mul):
+                inst_of_comp[i + u * d : i + (u + 1) * d] = iw + u
+            if ir == Irrep(0, 1):
+                M[i : i + n, g] = 1.0 / mul
+                scalar_comp[i : i + n] = 1.0
+                scalar_inst_of_comp[i : i + n] = _np.arange(ib, ib + mul)
+                ib += mul
+            iw += mul
+            i += n
+        return M, S, E, inst_of_comp, scalar_comp, scalar_inst_of_comp
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        irreps = Irreps(self.irreps)
+        M, S, E, inst_of_comp, scalar_comp, scalar_inst = self._matrices(irreps)
+        M = jnp.asarray(M, f.dtype)
+        S = jnp.asarray(S, f.dtype)
+        E = jnp.asarray(E, f.dtype)
+        # center scalar entries
+        means = f @ M  # (..., G); zero cols for non-scalar entries
+        f = f - means @ E * jnp.asarray(scalar_comp, f.dtype)
+        norm2 = jnp.square(f) @ S  # (..., G) mean square per entry
+        inv = jax.lax.rsqrt(norm2 + self.eps)  # (..., G)
+        scale = inv @ E  # (..., dim)
         if self.affine:
             weight = self.param("weight", nn.initializers.ones, (irreps.num_irreps,), f.dtype)
             num_scalar = sum(mul for mul, ir in irreps if ir == Irrep(0, 1))
             bias = self.param("bias", nn.initializers.zeros, (max(num_scalar, 1),), f.dtype)
-        for mul, ir in irreps:
-            d = ir.dim
-            field = f[..., i : i + mul * d].reshape(*batch, mul, d)
-            i += mul * d
-            if ir == Irrep(0, 1):
-                field = field - jnp.mean(field, axis=-2, keepdims=True)
-            norm2 = jnp.mean(jnp.square(field), axis=-1)  # component normalization
-            norm2 = jnp.mean(norm2, axis=-1, keepdims=True)  # (..., 1)
-            inv = jax.lax.rsqrt(norm2 + self.eps)[..., None]  # (..., 1, 1)
-            if self.affine:
-                w = weight[iw : iw + mul]
-                iw += mul
-                inv = inv * w[:, None]
-            field = field * inv
-            if self.affine and ir == Irrep(0, 1):
-                b = bias[ib : ib + mul]
-                ib += mul
-                field = field + b[:, None]
-            outs.append(field.reshape(*batch, mul * d))
-        return jnp.concatenate(outs, axis=-1)
+            scale = scale * weight[jnp.asarray(inst_of_comp)]
+            out = f * scale
+            if num_scalar:
+                out = out + bias[jnp.asarray(scalar_inst)] * jnp.asarray(scalar_comp, f.dtype)
+            return out
+        return f * scale
 
 
 def irreps2gate(irreps: Irreps) -> Tuple[Irreps, Irreps, Irreps]:
@@ -156,11 +241,19 @@ class Gate(nn.Module):
         if gd == 0:
             return scalars
         gates = norm_sigmoid(gates)
-        # expand gates across components of each gated irrep instance
-        reps = []
+        # expand gates across components of each gated irrep instance via a
+        # static 0/1 matrix (one matmul; repeat lowers to a gather on TPU)
+        import numpy as _np
+
+        R = _np.zeros((g.num_irreps, td))
+        gi = 0
+        ci = 0
         for mul, ir in t:
-            reps.extend([ir.dim] * mul)
-        gates_exp = jnp.repeat(gates, jnp.asarray(reps), axis=-1, total_repeat_length=td)
+            for _ in range(mul):
+                R[gi, ci : ci + ir.dim] = 1.0
+                gi += 1
+                ci += ir.dim
+        gates_exp = gates @ jnp.asarray(R, f.dtype)
         return jnp.concatenate([scalars, gated * gates_exp], axis=-1)
 
 

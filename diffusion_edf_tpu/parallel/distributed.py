@@ -1,0 +1,50 @@
+"""Multi-host initialization and cross-host data-parallel helpers.
+
+The reference has no multi-process execution at all (SURVEY.md §2.4); this is
+the DCN-facing layer for the north-star training scenario: each host runs one
+process (``initialize_distributed``), demo batches are sharded per host, and
+gradient psum rides ICI within a slice and DCN across slices via jit's
+automatic cross-mesh collectives.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+
+__all__ = ["initialize_distributed", "global_mesh", "host_local_demo_slice"]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` with env-var fallbacks
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID); no-op when
+    single-process."""
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=int(num_processes or os.environ.get("NUM_PROCESSES", 1)),
+        process_id=int(process_id or os.environ.get("PROCESS_ID", 0)),
+    )
+
+
+def global_mesh(axis_names=("data",)):
+    """Mesh over ALL devices of all hosts (call after initialize)."""
+    from .mesh import make_mesh
+
+    return make_mesh(axis_names=axis_names)
+
+
+def host_local_demo_slice(n_demos: int) -> range:
+    """Contiguous demo-index range owned by this host (demo-level DP,
+    SURVEY.md §2.4 consequence (3))."""
+    p = jax.process_index()
+    n = jax.process_count()
+    per = (n_demos + n - 1) // n
+    return range(p * per, min((p + 1) * per, n_demos))

@@ -1,0 +1,84 @@
+"""Agent-server CLI (reference ``agent_server.py:20-49`` argparse surface).
+
+Builds pick/place agent cascades from an ``agent.yaml`` + ``server.yaml``
+config pair and serves them over HTTP.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import yaml
+
+
+def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 1024, n_grasp_pad: int = 512):
+    from ..agent import DiffusionEdfAgent, load_model_bundle
+    from .server import AgentService
+
+    with open(os.path.join(family_dir, "agent.yaml")) as f:
+        agent_cfg = yaml.safe_load(f)
+    with open(os.path.join(family_dir, "server.yaml")) as f:
+        server_cfg = yaml.safe_load(f)
+    with open(os.path.join(family_dir, "preprocess.yaml")) as f:
+        prep_cfg = yaml.safe_load(f)
+
+    def build_agent(models_key: str, critic_key: str):
+        mk = agent_cfg.get("model_kwargs", {})
+        if models_key not in mk:
+            return None
+        bundles = []
+        for item in mk[models_key]:
+            ckpt = item.get("checkpoint_dir")
+            bundles.append(
+                load_model_bundle(
+                    item["configs_root_dir"],
+                    checkpoint_dir=ckpt if ckpt and os.path.exists(ckpt) else None,
+                    n_scene_pad=n_scene_pad,
+                    n_grasp_pad=n_grasp_pad,
+                )
+            )
+        critic = None
+        if with_critic and mk.get(critic_key):
+            item = mk[critic_key]
+            ckpt = item.get("checkpoint_dir")
+            critic = load_model_bundle(
+                item["configs_root_dir"],
+                checkpoint_dir=ckpt if ckpt and os.path.exists(ckpt) else None,
+                n_scene_pad=n_scene_pad,
+                n_grasp_pad=n_grasp_pad,
+            )
+        return DiffusionEdfAgent(
+            bundles,
+            prep_cfg["preprocess_config"],
+            prep_cfg["unprocess_config"],
+            critic=critic,
+        )
+
+    pick_agent = build_agent("pick_models_kwargs", "pick_critic_kwargs")
+    place_agent = build_agent("place_models_kwargs", "place_critic_kwargs")
+    return AgentService(pick_agent, place_agent, server_cfg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Serve diffusion-EDF agents over HTTP")
+    p.add_argument("--family-dir", default="diffusion_edf_tpu/configs/panda_mug",
+                   help="config family dir containing agent.yaml/server.yaml/preprocess.yaml")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8329)
+    p.add_argument("--no-critic", action="store_true")
+    p.add_argument("--n-scene-pad", type=int, default=1024)
+    p.add_argument("--n-grasp-pad", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from .server import run_server
+
+    service = build_service(
+        args.family_dir, with_critic=not args.no_critic,
+        n_scene_pad=args.n_scene_pad, n_grasp_pad=args.n_grasp_pad,
+    )
+    print(f"serving on {args.host}:{args.port}")
+    run_server(service, host=args.host, port=args.port, block=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -221,6 +221,29 @@ class DiffusionEdfTrainer:
         return last_stats
 
     # ------------------------------------------------------------------ #
+    def record_pcd(self, demo_index: int = 0) -> None:
+        """Save a 3D snapshot of the current batch + diffused poses for the
+        log viewer (reference ``record_pcd``, ``trainer.py:410-501``; files
+        are compressed npz under ``custom_data/step_N``)."""
+        scene, grasp, T = self._batches[demo_index]
+        key = jax.random.PRNGKey(self.steps)
+        T_d, _, t_in, _, _ = jax.jit(
+            lambda k: biequiv_diffusion(
+                k, T, 0.5, scene, grasp,
+                ang_mult=self.ang_mult, lin_mult=self.lin_mult,
+                n_samples_x_ref=self.n_samples_x_ref, contact_radius=self.contact_radius,
+            )
+        )(key)
+        self.logger.log_3d(
+            self.steps,
+            "train_snapshot",
+            {
+                "scene_x": scene.x, "scene_f": scene.f, "scene_mask": scene.mask,
+                "grasp_x": grasp.x, "grasp_f": grasp.f, "grasp_mask": grasp.mask,
+                "target_pose": T, "diffused_poses": T_d,
+            },
+        )
+
     def save(self, checkpoint_dir: Optional[str] = None) -> str:
         import orbax.checkpoint as ocp
 

@@ -1,0 +1,121 @@
+// Native point-cloud preprocessing kernels for the host-side data pipeline.
+//
+// The reference's preprocessing (voxel downsample, contact-radius counting)
+// lives in the external edf_interface package as pure torch code (SURVEY.md
+// row N6); here the per-demo host-side hot ops are C++ with a ctypes binding
+// (diffusion_edf_tpu/native.py) and a numpy fallback.  Device-side compute
+// stays JAX/XLA — this is the CPU data path only.
+//
+// Build: make -C native   (produces libedf_native.so)
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <unordered_map>
+#include <vector>
+#include <cmath>
+
+namespace {
+
+inline int64_t pack_key(int32_t x, int32_t y, int32_t z) {
+  // 21 bits per axis, offset to non-negative; collision-free for
+  // coordinates within +/- 2^20 voxels of the origin.
+  const int64_t off = 1 << 20;
+  return ((int64_t)(x + off) << 42) | ((int64_t)(y + off) << 21) | (int64_t)(z + off);
+}
+
+struct VoxelAcc {
+  double px = 0, py = 0, pz = 0;
+  double cr = 0, cg = 0, cb = 0;
+  int64_t count = 0;
+  int32_t kx = 0, ky = 0, kz = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Voxel-grid downsample with 'average' (or 'center') coordinate reduction.
+// Output order matches the numpy implementation: lexicographically sorted by
+// quantized voxel coordinates.  Returns the number of voxels written (or -1
+// if it exceeds `cap`).
+int voxel_downsample(const float* pts, const float* cols, int64_t n, float voxel,
+                     int use_center, float* out_pts, float* out_cols, int64_t cap) {
+  std::unordered_map<int64_t, VoxelAcc> acc;
+  acc.reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = pts + 3 * i;
+    int32_t kx = (int32_t)std::floor(p[0] / voxel);
+    int32_t ky = (int32_t)std::floor(p[1] / voxel);
+    int32_t kz = (int32_t)std::floor(p[2] / voxel);
+    VoxelAcc& a = acc[pack_key(kx, ky, kz)];
+    if (a.count == 0) { a.kx = kx; a.ky = ky; a.kz = kz; }
+    a.px += p[0]; a.py += p[1]; a.pz += p[2];
+    const float* c = cols + 3 * i;
+    a.cr += c[0]; a.cg += c[1]; a.cb += c[2];
+    a.count += 1;
+  }
+  if ((int64_t)acc.size() > cap) return -1;
+  std::vector<const VoxelAcc*> items;
+  items.reserve(acc.size());
+  for (const auto& kv : acc) items.push_back(&kv.second);
+  std::sort(items.begin(), items.end(), [](const VoxelAcc* a, const VoxelAcc* b) {
+    if (a->kx != b->kx) return a->kx < b->kx;
+    if (a->ky != b->ky) return a->ky < b->ky;
+    return a->kz < b->kz;
+  });
+  int64_t m = 0;
+  for (const VoxelAcc* a : items) {
+    if (use_center) {
+      out_pts[3 * m + 0] = (a->kx + 0.5f) * voxel;
+      out_pts[3 * m + 1] = (a->ky + 0.5f) * voxel;
+      out_pts[3 * m + 2] = (a->kz + 0.5f) * voxel;
+    } else {
+      out_pts[3 * m + 0] = (float)(a->px / a->count);
+      out_pts[3 * m + 1] = (float)(a->py / a->count);
+      out_pts[3 * m + 2] = (float)(a->pz / a->count);
+    }
+    out_cols[3 * m + 0] = (float)(a->cr / a->count);
+    out_cols[3 * m + 1] = (float)(a->cg / a->count);
+    out_cols[3 * m + 2] = (float)(a->cb / a->count);
+    ++m;
+  }
+  return (int)m;
+}
+
+// Per-destination neighbor counts within radius r (grid-bucketed).
+void radius_count(const float* src, int64_t ns, const float* dst, int64_t nd,
+                  float r, int32_t* counts) {
+  const float r2 = r * r;
+  const float cell = r;
+  std::unordered_map<int64_t, std::vector<int64_t>> grid;
+  grid.reserve((size_t)ns);
+  for (int64_t i = 0; i < ns; ++i) {
+    const float* p = src + 3 * i;
+    int32_t kx = (int32_t)std::floor(p[0] / cell);
+    int32_t ky = (int32_t)std::floor(p[1] / cell);
+    int32_t kz = (int32_t)std::floor(p[2] / cell);
+    grid[pack_key(kx, ky, kz)].push_back(i);
+  }
+  for (int64_t j = 0; j < nd; ++j) {
+    const float* q = dst + 3 * j;
+    int32_t kx = (int32_t)std::floor(q[0] / cell);
+    int32_t ky = (int32_t)std::floor(q[1] / cell);
+    int32_t kz = (int32_t)std::floor(q[2] / cell);
+    int32_t c = 0;
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = grid.find(pack_key(kx + dx, ky + dy, kz + dz));
+          if (it == grid.end()) continue;
+          for (int64_t i : it->second) {
+            const float* p = src + 3 * i;
+            float ddx = p[0] - q[0], ddy = p[1] - q[1], ddz = p[2] - q[2];
+            if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) ++c;
+          }
+        }
+    counts[j] = c;
+  }
+}
+
+}  // extern "C"

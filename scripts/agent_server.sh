@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Launch the HTTP agent server (replaces the reference's Pyro5
+# scripts/*/agent_server.bash).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python -m diffusion_edf_tpu.serve.cli "$@"

@@ -1,0 +1,5 @@
+#!/usr/bin/env bash
+# Scriptable replacement for the evaluate_real_*.ipynb notebook flow.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python -m diffusion_edf_tpu.eval --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres "$@"

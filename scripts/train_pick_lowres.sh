@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Train panda_mug pick (low-res) — mirrors the reference's
+# scripts/panda_real_mug_on_hanger/train/train_pick_lowres.bash.
+# Uses synthetic demos when the LFS demo data is absent.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONHASHSEED=0
+DEMOS_ARG=""
+if [ ! -e demo/panda_mug_on_hanger/data/demo_0/step_0/scene_pcd/points.pt ]; then
+  DEMOS_ARG="--synthetic-demos 10"
+fi
+python -m diffusion_edf_tpu.train.cli \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  $DEMOS_ARG "$@"

@@ -128,3 +128,31 @@ class TestSphericalHarmonics:
         y_rot = spherical_harmonics(irreps, v_rot)  # (3, 5, dim)
         y_expected = wigner.rotate_irreps(irreps, y, q)  # (3, 5, dim)
         np.testing.assert_allclose(y_rot, y_expected, atol=1e-5)
+
+
+class TestSE3Maps:
+    def test_exp_log_roundtrip(self):
+        tw = jax.random.normal(jax.random.PRNGKey(20), (32, 6)) * 1.5
+        T = so3.se3_exp_map(tw)
+        T2 = so3.se3_exp_map(so3.se3_log_map(T))
+        np.testing.assert_allclose(
+            so3.standardize_quaternion(T[:, :4]), so3.standardize_quaternion(T2[:, :4]), atol=1e-5
+        )
+        np.testing.assert_allclose(T[:, 4:], T2[:, 4:], atol=1e-5)
+
+    def test_small_twist(self):
+        tw = jax.random.normal(jax.random.PRNGKey(21), (8, 6)) * 1e-6
+        np.testing.assert_allclose(so3.se3_log_map(so3.se3_exp_map(tw)), tw, atol=1e-9)
+
+
+def test_parity_inversion():
+    from diffusion_edf_tpu.geom.parity import parity_inversion_sh
+    from diffusion_edf_tpu.geom.sh import spherical_harmonics
+
+    irreps = Irreps("1x0e+1x1e+1x2e")
+    v = jax.random.normal(jax.random.PRNGKey(22), (10, 3))
+    np.testing.assert_allclose(
+        spherical_harmonics(irreps, -v),
+        parity_inversion_sh(irreps, spherical_harmonics(irreps, v)),
+        atol=1e-5,
+    )

@@ -1,0 +1,44 @@
+"""Native (C++) kernel vs numpy-oracle tests."""
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu import native
+from diffusion_edf_tpu.train.data import PointCloud
+
+
+def _np_voxel(points, colors, voxel):
+    keys = np.floor(points / voxel).astype(np.int64)
+    uniq, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    pts = np.zeros((len(uniq), 3))
+    cols = np.zeros((len(uniq), 3))
+    np.add.at(pts, inv, points)
+    np.add.at(cols, inv, colors)
+    return pts / counts[:, None], cols / counts[:, None]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_voxel_downsample_matches_numpy():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(5000, 3).astype(np.float32)
+    cols = rng.rand(5000, 3).astype(np.float32)
+    out_p, out_c = native.voxel_downsample(pts, cols, 0.2)
+    ref_p, ref_c = _np_voxel(pts.astype(np.float64), cols.astype(np.float64), 0.2)
+    assert out_p.shape == ref_p.shape
+    np.testing.assert_allclose(out_p, ref_p, atol=1e-4)
+    np.testing.assert_allclose(out_c, ref_c, atol=1e-4)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_radius_count_matches_numpy():
+    rng = np.random.RandomState(1)
+    src = rng.randn(800, 3).astype(np.float32)
+    dst = rng.randn(100, 3).astype(np.float32)
+    r = 0.7
+    out = native.radius_count(src, dst, r)
+    d2 = ((dst[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(out, (d2 <= r * r).sum(-1))
+
+
+def test_available_reports():
+    # informative: build should succeed in this image (g++ present)
+    assert native.available(), "native library failed to build"
