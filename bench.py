@@ -10,11 +10,17 @@ the assumed CUDA baseline of 200 pose-steps/s (650 evals x 20 seeds in ~65 s).
 Run: python bench.py  (prints ONE JSON line)
 """
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: repeat bench runs skip XLA compiles entirely
+from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"))
 
 VS_BASELINE_REF = 200.0  # assumed CUDA pose-steps/s (see module docstring)
 

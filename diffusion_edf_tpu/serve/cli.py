@@ -70,8 +70,10 @@ def main(argv=None):
     p.add_argument("--n-grasp-pad", type=int, default=512)
     args = p.parse_args(argv)
 
+    from ..utils.profiling import setup_compilation_cache
     from .server import run_server
 
+    setup_compilation_cache()
     service = build_service(
         args.family_dir, with_critic=not args.no_critic,
         n_scene_pad=args.n_scene_pad, n_grasp_pad=args.n_grasp_pad,

@@ -34,9 +34,12 @@ def main(argv=None):
     p.add_argument("--n-grasp-pad", type=int, default=512)
     args = p.parse_args(argv)
 
+    from ..utils.profiling import setup_compilation_cache
     from .data import DemoDataset
     from .synthetic import make_synthetic_dataset
     from .trainer import DiffusionEdfTrainer
+
+    setup_compilation_cache()
 
     log_name = args.log_name or time.strftime("%Y%m%d-%H%M%S")
     if args.log_name_postfix:

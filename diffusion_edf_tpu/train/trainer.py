@@ -139,7 +139,9 @@ class DiffusionEdfTrainer:
         self.prepare_batches(demos)
         scene, grasp, T = self._batches[0]
         time0 = jnp.full((T.shape[0],), 0.5)
-        self.params = self.model.init(key, T, scene, grasp, time0)
+        # jit the init: unjitted flax init dispatches op-by-op, which is
+        # pathological over remote-attached TPU backends
+        self.params = jax.jit(self.model.init)(key, T, scene, grasp, time0)
         self.opt_state = self.optimizer.init(self.params)
         self._train_step = jax.jit(self._make_train_step())
 

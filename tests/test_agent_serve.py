@@ -117,3 +117,29 @@ def test_http_server(agent):
         assert json.loads(r.read())["foo"] == 1
     finally:
         httpd.shutdown()
+
+
+def test_evaluate_agent(agent):
+    from diffusion_edf_tpu.eval import evaluate_agent, pose_errors
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_dataset
+
+    # pose_errors sanity: identical pose -> zero error
+    p = np.array([[1.0, 0, 0, 0, 1.0, 2.0, 3.0]])
+    errs = pose_errors(p, p)
+    assert errs["trans_err"][0] < 1e-6 and errs["rot_err_deg"][0] < 1e-3
+
+    demos = make_synthetic_dataset(n_demos=1, seed=3, n_scene=500, n_grasp=120)
+    report = evaluate_agent(
+        agent, demos, task_type="pick", n_seeds=2, seed=0,
+        diffusion_configs=dict(
+            N_steps_list=[[3, 3]],
+            timesteps_list=[[0.04, 0.02]],
+            temperatures_list=[[1.0, 1.0]],
+            diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.02]]],
+            log_t_schedule=True,
+            time_exponent_temp=1.0,
+            time_exponent_alpha=0.5,
+        ),
+    )
+    assert report["n_demos"] == 1 and report["n_samples"] == 2
+    assert np.isfinite(report["trans_err_cm"]["mean"])
