@@ -217,7 +217,9 @@ class DiffusionEdfTrainer:
                 self.params, self.opt_state, sub, scene, grasp, T
             )
             self.steps += 1
-            last_stats = {k: float(v) for k, v in stats.items()}
+            # one device->host transfer for the whole stats dict (per-scalar
+            # float() conversions would each round-trip the interconnect)
+            last_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
             self.logger.log(step=self.steps, **last_stats)
         self.epoch += 1
         return last_stats

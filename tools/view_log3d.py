@@ -1,0 +1,43 @@
+"""Inspect 3D training snapshots saved by ``JsonlLogger.log_3d`` /
+``DiffusionEdfTrainer.record_pcd`` (the reference browses its gzip pickles
+with ``notebooks/log_pcd_viewer.ipynb``; this is the scriptable equivalent).
+
+Usage: python tools/view_log3d.py runs/<name>/custom_data/step_N/train_snapshot.npz [--html out.html]
+"""
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("npz")
+    p.add_argument("--html", default=None, help="write an interactive plotly HTML view")
+    args = p.parse_args()
+    data = np.load(args.npz)
+    print(f"{args.npz}:")
+    for k in data.files:
+        a = data[k]
+        print(f"  {k:18s} {a.shape} {a.dtype}  [{np.min(a):+.3f}, {np.max(a):+.3f}]")
+    if args.html:
+        import sys
+
+        sys.path.insert(0, ".")
+        from diffusion_edf_tpu.visualize import visualize_pose
+
+        mask = data["scene_mask"].astype(bool)
+        gmask = data["grasp_mask"].astype(bool)
+        fig = visualize_pose(
+            data["scene_x"][mask], data["scene_f"][mask],
+            data["grasp_x"][gmask], data["grasp_f"][gmask],
+            data.get("diffused_poses", data["target_pose"]),
+        )
+        if hasattr(fig, "write_html"):
+            fig.write_html(args.html)
+            print(f"wrote {args.html}")
+        else:
+            print("plotly unavailable; no HTML written")
+
+
+if __name__ == "__main__":
+    main()
