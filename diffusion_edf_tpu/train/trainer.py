@@ -144,6 +144,22 @@ class DiffusionEdfTrainer:
         self.params = jax.jit(self.model.init)(key, T, scene, grasp, time0)
         self.opt_state = self.optimizer.init(self.params)
         self._train_step = jax.jit(self._make_train_step())
+        # whole-epoch scan: stacked demo batches, one dispatch per epoch
+        self._stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *self._batches)
+        step_fn = self._make_train_step()
+
+        def epoch_fn(params, opt_state, key, stacked, order):
+            def body(carry, idx):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                scene, grasp, T = jax.tree_util.tree_map(lambda a: a[idx], stacked)
+                params, opt_state, stats = step_fn(params, opt_state, sub, scene, grasp, T)
+                return (params, opt_state, key), stats
+
+            (params, opt_state, _), stats = jax.lax.scan(body, (params, opt_state, key), order)
+            return params, opt_state, stats
+
+        self._train_epoch_jit = jax.jit(epoch_fn)
 
     def n_params(self) -> int:
         return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params))
@@ -205,21 +221,22 @@ class DiffusionEdfTrainer:
 
     # ------------------------------------------------------------------ #
     def train_epoch(self, key: jax.Array, shuffle: bool = True) -> Dict[str, float]:
+        """One epoch over all demos as a single jitted ``lax.scan`` dispatch
+        (the reference dispatches per step; over a remote-attached backend
+        each dispatch costs ~0.5 s — the scan removes all of it)."""
         assert self.params is not None, "call init() first"
         order = np.arange(len(self._batches))
         if shuffle:
             np.random.default_rng(self.epoch).shuffle(order)
+        self.params, self.opt_state, stats = self._train_epoch_jit(
+            self.params, self.opt_state, key, self._stacked, jnp.asarray(order)
+        )
+        stats = jax.device_get(stats)  # dict of (n_steps,) arrays
+        n = len(order)
         last_stats = {}
-        for i in order:
-            scene, grasp, T = self._batches[i]
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, stats = self._train_step(
-                self.params, self.opt_state, sub, scene, grasp, T
-            )
+        for i in range(n):
             self.steps += 1
-            # one device->host transfer for the whole stats dict (per-scalar
-            # float() conversions would each round-trip the interconnect)
-            last_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            last_stats = {k: float(v[i]) for k, v in stats.items()}
             self.logger.log(step=self.steps, **last_stats)
         self.epoch += 1
         return last_stats

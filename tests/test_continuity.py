@@ -1,0 +1,74 @@
+"""Continuity of the tensor field across neighborhood boundaries.
+
+The reference stresses soft-cutoff continuity for equivariance smoothness
+(``graph_parser.py:163-214``, SURVEY.md §7.4.2): as a scene point crosses the
+cluster radius, its attention contribution must fade smoothly (log-cutoff on
+the logits), so the field output is continuous in the point positions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.models import FeaturedPoints, MultiscaleTensorField
+
+IRREPS = Irreps("8x0e+4x1e+2x2e")
+
+
+def _field(k=20):
+    return MultiscaleTensorField(
+        irreps_input=IRREPS,
+        irreps_output=IRREPS,
+        irreps_sh="1x0e+1x1e+1x2e",
+        num_heads=2,
+        fc_neurons=[16, 16, 16],
+        length_emb_dim=16,
+        irreps_query=None,
+        r_cluster_multiscale=[2.0],
+        k_multiscale=[k],
+        r_mincut_nonscalar_sh=0.1,
+        n_layers=1,
+        irreps_mlp_mid=2,
+        alpha_drop=0.0,
+        cutoff_method="edge_attn",
+    )
+
+
+def test_field_continuous_across_radius():
+    # K == N: no neighbor-slot truncation, so this isolates the soft-cutoff
+    # continuity semantics.  (With K < in-radius degree, dropping the
+    # (K+1)-th-nearest neighbor is a bounded discontinuity — bounded by the
+    # soft-cutoff weight at the K-th neighbor distance; choose K generously,
+    # SURVEY.md §7.4.2.)
+    tf = _field(k=20)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    n = 20
+    src_x = jax.random.normal(ks[0], (n, 3)) * 0.8
+    src_f = jax.random.normal(ks[1], (n, IRREPS.dim))
+    query = FeaturedPoints(x=jnp.zeros((1, 3)), f=jnp.zeros((1, 0)), mask=jnp.ones(1, bool))
+
+    def out_for(dist):
+        x = src_x.at[0].set(jnp.asarray([dist, 0.0, 0.0]))
+        src = FeaturedPoints(x=x, f=src_f, mask=jnp.ones(n, bool))
+        return tf.apply(params, query, [src]).f
+
+    src0 = FeaturedPoints(x=src_x, f=src_f, mask=jnp.ones(n, bool))
+    params = tf.init(ks[2], query, [src0])
+
+    # sweep point 0 across the cutoff radius r=2.0
+    ds = np.linspace(1.7, 2.3, 25)
+    outs = np.stack([np.asarray(out_for(float(d)))[0] for d in ds])
+    # output must vary smoothly: no jump bigger than a few times the typical
+    # step-to-step variation
+    diffs = np.linalg.norm(np.diff(outs, axis=0), axis=-1)
+    assert diffs.max() < 0.2, diffs
+    # and the point's influence must vanish exactly at/beyond the radius:
+    # outputs for d=2.1 and d=2.3 are identical (point outside)
+    np.testing.assert_allclose(outs[-1], np.asarray(out_for(2.11))[0], atol=1e-5)
+
+    # near the boundary the contribution is already tiny: compare d=1.999
+    # against the point fully removed
+    far = np.asarray(out_for(100.0))[0]
+    near = np.asarray(out_for(1.999))[0]
+    assert np.linalg.norm(near - far) < 0.05

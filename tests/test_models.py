@@ -190,3 +190,56 @@ def test_ebm_energy_invariance():
     # score via autodiff works
     ang, lin = model.apply(params, Ts, key_ms, query, time, method=model.score)
     assert ang.shape == (2, 3) and np.isfinite(np.asarray(ang)).all()
+
+
+def place_config():
+    """Place-task variant: KeypointExtractor query model (tiny)."""
+    cfg = tiny_config()
+    fe_kwargs = dict(cfg["key_kwargs"]["feature_extractor_kwargs"])
+    tf_kwargs = dict(
+        irreps_output=IRREPS,
+        irreps_sh=IRREPS_SH,
+        num_heads=2,
+        fc_neurons=[16, 16, 16],
+        length_emb_dim=16,
+        r_cluster_multiscale=[2.0, None],
+        k_multiscale=[8, 999],
+        n_layers=1,
+        irreps_mlp_mid=2,
+        cutoff_method="edge_attn",
+        r_mincut_nonscalar_sh=0.1,
+        length_enc_max_r=10.0,
+        alpha_drop=0.0,
+    )
+    cfg["query_model"] = "KeypointExtractor"
+    cfg["query_kwargs"] = dict(
+        feature_extractor_name="UnetFeatureExtractor",
+        feature_extractor_kwargs=fe_kwargs,
+        tensor_field_kwargs=tf_kwargs,
+        keypoint_kwargs=dict(pool_ratio=0.1, weight_pre_emb_dim=8),
+    )
+    return cfg
+
+
+def test_place_model_with_keypoint_extractor():
+    """End-to-end score eval with the learned query-side extractor
+    (place-task configuration, ``multiscale_score_model.py`` place variants)."""
+    from diffusion_edf_tpu.models.score_model import MultiscaleScoreModel as MSM
+
+    model = MSM(**place_config())
+    scene = make_scene(jax.random.PRNGKey(0))
+    grasp = make_scene(jax.random.PRNGKey(10), n=40)
+    Ts = jnp.concatenate(
+        [so3.random_quaternions(jax.random.PRNGKey(1), 2), jax.random.normal(jax.random.PRNGKey(2), (2, 3))],
+        axis=-1,
+    )
+    time = jnp.full((2,), 0.5)
+    params = model.init(jax.random.PRNGKey(3), Ts, scene, grasp, time)
+    ang, lin = model.apply(params, Ts, scene, grasp, time)
+    assert ang.shape == (2, 3) and np.isfinite(np.asarray(ang)).all()
+    # query weights exist and are masked properly
+    query = model.apply(params, grasp, method=model.get_query_pcd)
+    assert query.w is not None
+    w = np.asarray(query.w)
+    assert (w[np.asarray(query.mask)] >= 0).all()
+    assert (w[~np.asarray(query.mask)] == 0).all()
