@@ -243,3 +243,57 @@ def test_place_model_with_keypoint_extractor():
     w = np.asarray(query.w)
     assert (w[np.asarray(query.mask)] >= 0).all()
     assert (w[~np.asarray(query.mask)] == 0).all()
+
+
+def test_point_attentive_model():
+    """Sapien-family variant: KeypointExtractor key model whose learned point
+    weights feed use_src_point_attn in the score-head field
+    (``point_attentive_score_model.py:23-99``; single null-radius scale)."""
+    from diffusion_edf_tpu.models.score_model import PointAttentiveScoreModel
+
+    fe_kwargs = dict(tiny_config()["key_kwargs"]["feature_extractor_kwargs"])
+    key_tf = dict(
+        irreps_output=IRREPS, irreps_sh=IRREPS_SH, num_heads=2,
+        fc_neurons=[16, 16, 16], length_emb_dim=16,
+        r_cluster_multiscale=[2.0, None], k_multiscale=[8, 999],
+        n_layers=1, irreps_mlp_mid=2, cutoff_method="edge_attn",
+        r_mincut_nonscalar_sh=0.1, length_enc_max_r=10.0, alpha_drop=0.0,
+    )
+    head_tf = dict(
+        irreps_output=IRREPS, irreps_sh=IRREPS_SH, num_heads=2,
+        fc_neurons=[-1, 16, 16], length_emb_dim=16,
+        r_cluster_multiscale=[None], k_multiscale=[999],
+        n_layers=1, irreps_mlp_mid=2, cutoff_method="edge_attn",
+        r_mincut_nonscalar_sh=0.1, length_enc_max_r=10.0, alpha_drop=0.0,
+    )
+    model = PointAttentiveScoreModel(
+        query_model="StaticKeypointModel",
+        score_head_kwargs=dict(
+            max_time=1.0, time_emb_mlp=[32, 32, 16], ang_mult=2.5, lin_mult=15.0,
+            edge_time_encoding=True, query_time_encoding=False,
+            key_tensor_field_kwargs=head_tf,
+        ),
+        key_kwargs=dict(
+            feature_extractor_name="UnetFeatureExtractor",
+            feature_extractor_kwargs=fe_kwargs,
+            tensor_field_kwargs=key_tf,
+            keypoint_kwargs=dict(pool_ratio=0.2, weight_pre_emb_dim=8),
+            weight_activation="sigmoid",
+            weight_mult=None,
+        ),
+        query_kwargs=dict(
+            irreps_output=IRREPS,
+            keypoint_coords=[[0.5, 0.5, 1.0], [-0.5, -0.5, 1.0]],
+        ),
+    )
+    scene = make_scene(jax.random.PRNGKey(0))
+    Ts = jnp.concatenate(
+        [so3.random_quaternions(jax.random.PRNGKey(1), 2), jax.random.normal(jax.random.PRNGKey(2), (2, 3))],
+        axis=-1,
+    )
+    time = jnp.full((2,), 0.5)
+    params = model.init(jax.random.PRNGKey(3), Ts, scene, scene, time)
+    ang, lin = model.apply(params, Ts, scene, scene, time)
+    assert ang.shape == (2, 3) and np.isfinite(np.asarray(ang)).all()
+    key_ms = model.apply(params, scene, method=model.get_key_pcd_multiscale)
+    assert len(key_ms) == 1 and key_ms[0].w is not None
