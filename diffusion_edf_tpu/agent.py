@@ -66,8 +66,10 @@ def load_model_bundle(
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(checkpoint_dir), {"params": params})
-        params = restored["params"]
+        # restore without a target: accepts both trainer checkpoints
+        # ({params, opt_state, meta}) and bare-params checkpoints
+        restored = ckptr.restore(os.path.abspath(checkpoint_dir))
+        params = restored.get("params", restored)
     return ModelBundle(
         model=model,
         params=params,

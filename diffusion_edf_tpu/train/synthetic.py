@@ -46,13 +46,32 @@ def _plane(rng, center, nx, ny, size, n, color):
     return pts, cols
 
 
+def _disk(rng, center, radius, n, color):
+    r = radius * np.sqrt(rng.uniform(0, 1, n))
+    phi = rng.uniform(0, 2 * np.pi, n)
+    pts = np.asarray(center)[None] + np.stack([r * np.cos(phi), r * np.sin(phi), np.zeros(n)], -1)
+    cols = np.clip(np.asarray(color)[None] + rng.normal(0, 0.02, (n, 3)), 0, 1)
+    return pts, cols
+
+
 def _mug(rng, n, color):
-    """Mug-like object in its own (grasp) frame: open cylinder + handle."""
-    n_body = int(n * 0.75)
-    n_handle = n - n_body
+    """Mug-like object in its own (grasp) frame: cylinder + closed bottom +
+    handle + a bright rim marker.  The bottom disk and marker break the
+    approximate 180-degree flip symmetry of an open shell, so target
+    orientations are unambiguous (pose metrics would otherwise count valid
+    symmetric samples as ~180-degree errors)."""
+    n_body = int(n * 0.55)
+    n_handle = int(n * 0.2)
+    n_bottom = int(n * 0.15)
+    n_marker = n - n_body - n_handle - n_bottom
     body, cb = _cylinder(rng, [0, 0, 0.04], [0, 0, 1], 0.035, 0.08, n_body, color)
     handle, ch = _cylinder(rng, [0.045, 0, 0.04], [0, 0, 1], 0.012, 0.05, n_handle, color)
-    return np.concatenate([body, handle]), np.concatenate([cb, ch])
+    bottom, cbo = _disk(rng, [0, 0, 0.0], 0.035, n_bottom, [0.8, 0.1, 0.1])
+    marker, cm = _cylinder(rng, [-0.03, 0, 0.085], [0, 0, 1], 0.006, 0.01, n_marker, [0.95, 0.9, 0.1])
+    return (
+        np.concatenate([body, handle, bottom, marker]),
+        np.concatenate([cb, ch, cbo, cm]),
+    )
 
 
 def _quat_about(axis, angle):
