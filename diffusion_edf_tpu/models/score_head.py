@@ -245,12 +245,19 @@ class EbmScoreModelHead(nn.Module):
             mask=jnp.broadcast_to(query_pcd.mask[None, :], (nT, nQ)).reshape(-1),
         )
         if self.edge_time_encoding:
-            ctx = []
-            for n in range(self.n_scales):
-                te = _TimeMLP(tuple(self.time_emb_mlp[1:]), name=f"time_mlp_{n}")(time_enc)
-                ctx.append(
-                    jnp.broadcast_to(te[:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
-                )
+            ScaleTimeMLPs = nn.vmap(
+                _TimeMLP,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=self.n_scales,
+            )
+            tes = ScaleTimeMLPs(tuple(self.time_emb_mlp[1:]), name="time_mlps")(time_enc)
+            ctx = [
+                jnp.broadcast_to(tes[n][:, None, :], (nT, nQ, time_emb_dim)).reshape(nT * nQ, -1)
+                for n in range(self.n_scales)
+            ]
         else:
             ctx = None
 
