@@ -32,7 +32,7 @@ class ModelBundle:
     params: Any
     ang_mult: float
     lin_mult: float
-    n_scene_pad: int = 1024
+    n_scene_pad: int = 2048
     n_grasp_pad: int = 512
     name: str = ""
 
@@ -42,7 +42,7 @@ def load_model_bundle(
     checkpoint_dir: Optional[str] = None,
     train_configs_file: str = "train_configs.yaml",
     task_configs_file: str = "task_configs.yaml",
-    n_scene_pad: int = 1024,
+    n_scene_pad: int = 2048,
     n_grasp_pad: int = 512,
     init_seed: int = 0,
 ) -> ModelBundle:
@@ -81,6 +81,47 @@ def load_model_bundle(
     )
 
 
+class _BundleRuntime:
+    """Per-bundle jitted callables, built ONCE so repeated ``sample()`` calls
+    never re-trace (the reference re-runs e3nn codegen per process; round-1
+    rebuilt ``jax.jit`` wrappers per call which re-traced every HTTP request).
+    ``jax.jit`` caches compiled executables per input shape inside these
+    function objects — same shapes => zero traces after the first call."""
+
+    def __init__(self, bundle: ModelBundle):
+        model = bundle.model
+        ang_mult, lin_mult = bundle.ang_mult, bundle.lin_mult
+        self.extract_key = jax.jit(
+            lambda params, scene: model.apply(params, scene, method=model.get_key_pcd_multiscale)
+        )
+        self.extract_query = jax.jit(
+            lambda params, grasp: model.apply(params, grasp, method=model.get_query_pcd)
+        )
+
+        def _rollout(params, key_ms, query, key, T0, sched, record):
+            def score_fn(T, t):
+                return model.apply(params, T, key_ms, query, t, method=model.score)
+
+            return langevin_sample(
+                key, score_fn, T0, sched, ang_mult, lin_mult, record_trajectory=record
+            )
+
+        self.rollout = jax.jit(_rollout, static_argnames=("record",))
+        self.energy = jax.jit(
+            lambda params, T, key_ms, query: model.apply(
+                params, T, key_ms, query, jnp.ones((T.shape[0],)), method=model.energy
+            )
+        )
+
+    def cache_sizes(self) -> Dict[str, int]:
+        """Number of compiled executables per jitted entry point (for the
+        no-retrace regression test)."""
+        return {
+            name: getattr(self, name)._cache_size()
+            for name in ("extract_key", "extract_query", "rollout", "energy")
+        }
+
+
 class DiffusionEdfAgent:
     def __init__(
         self,
@@ -98,7 +139,8 @@ class DiffusionEdfAgent:
         for op in unprocess_config:
             if op["name"] == "rescale":
                 self.unrescale *= float(op["kwargs"]["rescale_factor"])
-        self._compiled = {}
+        self._runtimes = [_BundleRuntime(b) for b in self.models]
+        self._critic_runtime = _BundleRuntime(critic) if critic is not None else None
 
     # ------------------------------------------------------------------ #
     def _prep(self, scene_pcd: PointCloud, grasp_pcd: PointCloud):
@@ -139,15 +181,11 @@ class DiffusionEdfAgent:
         info: Dict[str, Any] = {}
         trajs = []
         for mi, bundle in enumerate(self.models):
+            rt = self._runtimes[mi]
             scene_fp = pad_pointcloud(scene_p, bundle.n_scene_pad)
             grasp_fp = pad_pointcloud(grasp_p, bundle.n_grasp_pad)
-            model, params = bundle.model, bundle.params
-            key_ms = jax.jit(
-                lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale)
-            )(params, scene_fp)
-            query = jax.jit(lambda p, s: model.apply(p, s, method=model.get_query_pcd))(
-                params, grasp_fp
-            )
+            key_ms = rt.extract_key(bundle.params, scene_fp)
+            query = rt.extract_query(bundle.params, grasp_fp)
 
             sched = build_schedule(
                 diffusion_schedules=diffusion_schedules_list[mi],
@@ -161,17 +199,10 @@ class DiffusionEdfAgent:
                 time_exponent_alpha=time_exponent_alpha,
             )
 
-            def score_fn(T, t, model=model, params=params, key_ms=key_ms, query=query):
-                return model.apply(params, T, key_ms, query, t, method=model.score)
-
             key, sub = jax.random.split(key)
-            rollout = jax.jit(
-                lambda k, T: langevin_sample(
-                    k, score_fn, T, sched, bundle.ang_mult, bundle.lin_mult,
-                    record_trajectory=record_trajectory,
-                )
+            T_final, traj = rt.rollout(
+                bundle.params, key_ms, query, sub, T0, sched, record=record_trajectory
             )
-            T_final, traj = rollout(sub, T0)
             T0 = T_final
             trajs.append(np.asarray(traj) if record_trajectory else np.asarray(T_final)[None])
 
@@ -179,20 +210,13 @@ class DiffusionEdfAgent:
 
         if self.critic is not None:
             c = self.critic
+            rt = self._critic_runtime
             scene_fp = pad_pointcloud(scene_p, c.n_scene_pad)
             grasp_fp = pad_pointcloud(grasp_p, c.n_grasp_pad)
-            key_ms = jax.jit(
-                lambda p, s: c.model.apply(p, s, method=c.model.get_key_pcd_multiscale)
-            )(c.params, scene_fp)
-            query = jax.jit(lambda p, s: c.model.apply(p, s, method=c.model.get_query_pcd))(
-                c.params, grasp_fp
-            )
+            key_ms = rt.extract_key(c.params, scene_fp)
+            query = rt.extract_query(c.params, grasp_fp)
             Tl = jnp.asarray(Ts_out[-1])
-            energy = jax.jit(
-                lambda T: c.model.apply(
-                    c.params, T, key_ms, query, jnp.ones((T.shape[0],)), method=c.model.energy
-                )
-            )(Tl)
+            energy = rt.energy(c.params, Tl, key_ms, query)
             order = np.argsort(np.asarray(energy))
             Ts_out = Ts_out[:, order]
             info["energy"] = np.asarray(energy)[order]
@@ -200,20 +224,31 @@ class DiffusionEdfAgent:
         return Ts_out, scene_p, grasp_p, info
 
     # ------------------------------------------------------------------ #
-    def warmup(self, scene_pcd: PointCloud, grasp_pcd: PointCloud, n_seeds: int = 1) -> None:
+    def warmup(
+        self,
+        scene_pcd: PointCloud,
+        grasp_pcd: PointCloud,
+        n_seeds: int = 1,
+        diffusion_configs: Optional[Dict] = None,
+        record_trajectory: bool = False,
+    ) -> None:
         """Pre-compile the full sampling path for the given input shapes
-        (reference ``warmup_score_model``, ``trainer.py:504-547``; on TPU the
-        persistent compilation cache — ``utils.profiling`` — makes this a
-        one-time cost per shape)."""
+        (reference ``warmup_score_model``, ``trainer.py:504-547``).
+
+        Pass the SAME ``diffusion_configs`` dict (N_steps_list etc.) and
+        ``n_seeds``/``record_trajectory`` that later ``sample()`` calls will
+        use: the jitted executables are cached per shape inside the per-bundle
+        runtimes, so a matching warmup makes subsequent calls trace-free
+        (the persistent XLA cache — ``utils.profiling`` — additionally makes
+        the compile itself a one-time cost per shape across processes)."""
         Ts = np.concatenate([np.tile([[1.0, 0, 0, 0]], (n_seeds, 1)), np.zeros((n_seeds, 3))], -1)
-        self.sample(
-            scene_pcd, grasp_pcd, Ts,
+        cfg = diffusion_configs or dict(
             N_steps_list=[[1] for _ in self.models],
             timesteps_list=[[0.01] for _ in self.models],
             temperatures_list=[[1.0] for _ in self.models],
             diffusion_schedules_list=[[[1.0, 0.9]] for _ in self.models],
-            record_trajectory=False,
         )
+        self.sample(scene_pcd, grasp_pcd, Ts, record_trajectory=record_trajectory, **cfg)
 
     def unprocess_poses(self, Ts: np.ndarray) -> np.ndarray:
         """cm -> meters on the translation part (``agent_server.py:194-221``)."""

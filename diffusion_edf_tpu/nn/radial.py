@@ -86,7 +86,9 @@ class RadialProfile(nn.Module):
             if last:
                 break
             if self.use_layer_norm:
-                h = nn.LayerNorm(name=f"ln{i}")(h)
+                # epsilon matches torch.nn.LayerNorm (1e-5; flax default is
+                # 1e-6) so imported reference weights reproduce exactly
+                h = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(h)
             h = jax.nn.silu(h)
         if self.use_offset:
             fan_in = chs[-2]

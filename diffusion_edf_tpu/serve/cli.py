@@ -11,7 +11,7 @@ import os
 import yaml
 
 
-def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 1024, n_grasp_pad: int = 512):
+def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 2048, n_grasp_pad: int = 512):
     from ..agent import DiffusionEdfAgent, load_model_bundle
     from .server import AgentService
 
@@ -66,7 +66,7 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8329)
     p.add_argument("--no-critic", action="store_true")
-    p.add_argument("--n-scene-pad", type=int, default=1024)
+    p.add_argument("--n-scene-pad", type=int, default=2048)
     p.add_argument("--n-grasp-pad", type=int, default=512)
     args = p.parse_args(argv)
 

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic-demos", type=int, default=0, help="generate N synthetic demos instead of loading the dataset")
-    p.add_argument("--n-scene-pad", type=int, default=1024)
+    p.add_argument("--n-scene-pad", type=int, default=2048)
     p.add_argument("--n-grasp-pad", type=int, default=512)
     args = p.parse_args(argv)
 

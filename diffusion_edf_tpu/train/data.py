@@ -131,14 +131,37 @@ def _randomize_hsl(
     ds = rng.uniform(-srange, srange)
     dl = rng.uniform(-lrange, lrange)
     rgb = np.clip(pcd.colors, 0.0, 1.0)
-    out = np.empty_like(rgb)
-    for i in range(len(rgb)):
-        h, l, s = colorsys.rgb_to_hls(*rgb[i])
-        h = (h + dh) % 1.0
-        l = float(np.clip(l + dl, 0, 1))
-        s = float(np.clip(s + ds, 0, 1))
-        out[i] = colorsys.hls_to_rgb(h, l, s)
-    return PointCloud(points=pcd.points, colors=out)
+    # vectorized RGB->HLS->RGB (colorsys semantics, whole-cloud at once)
+    maxc = rgb.max(-1)
+    minc = rgb.min(-1)
+    l = (maxc + minc) / 2.0
+    delta = maxc - minc
+    sat_div = np.where(l <= 0.5, maxc + minc, 2.0 - maxc - minc)
+    s = np.where(delta > 0, delta / np.where(sat_div > 0, sat_div, 1.0), 0.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    safe = np.where(delta > 0, delta, 1.0)
+    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+    h = np.where(
+        r == maxc, bc - gc, np.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = np.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    h = (h + dh) % 1.0
+    l = np.clip(l + dl, 0.0, 1.0)
+    s = np.clip(s + ds, 0.0, 1.0)
+    m2 = np.where(l <= 0.5, l * (1.0 + s), l + s - l * s)
+    m1 = 2.0 * l - m2
+
+    def _channel(hue):
+        hue = hue % 1.0
+        return np.where(
+            hue < 1 / 6, m1 + (m2 - m1) * hue * 6.0,
+            np.where(hue < 0.5, m2,
+                     np.where(hue < 2 / 3, m1 + (m2 - m1) * (2 / 3 - hue) * 6.0, m1)),
+        )
+
+    out = np.stack([_channel(h + 1 / 3), _channel(h), _channel(h - 1 / 3)], axis=-1)
+    out = np.where((s == 0.0)[..., None], l[..., None], out)
+    return PointCloud(points=pcd.points, colors=out.astype(pcd.colors.dtype))
 
 
 def _crop_bbox(pcd: PointCloud, bbox: Sequence[Sequence[float]]) -> PointCloud:
@@ -196,12 +219,20 @@ def pad_pointcloud(pcd: PointCloud, n_pad: int, dtype=np.float32) -> FeaturedPoi
     """Pad/truncate to exactly ``n_pad`` points with validity mask.
 
     Truncation keeps a deterministic uniform subsample (stride pick) if the
-    cloud exceeds the budget."""
+    cloud exceeds the budget — and WARNS, because dropping points silently
+    degrades model quality (no-silent-caps principle)."""
+    import warnings
+
     import jax.numpy as jnp
 
     n = pcd.n
     pts, cols = pcd.points, pcd.colors
     if n > n_pad:
+        warnings.warn(
+            f"pad_pointcloud: truncating {n} -> {n_pad} points "
+            f"({100.0 * (n - n_pad) / n:.1f}% dropped); raise n_pad",
+            stacklevel=2,
+        )
         idx = np.linspace(0, n - 1, n_pad).round().astype(np.int64)
         pts, cols, n = pts[idx], cols[idx], n_pad
     x = np.zeros((n_pad, 3), dtype=dtype)

@@ -32,7 +32,7 @@ from .data import DemoSequence, TargetPoseDemo, compose_proc_fn, pad_pointcloud
 from .factory import build_score_model
 from .logging import JsonlLogger
 
-__all__ = ["load_configs", "DiffusionEdfTrainer", "TrainState"]
+__all__ = ["load_configs", "DiffusionEdfTrainer"]
 
 
 def load_configs(
@@ -48,10 +48,6 @@ def load_configs(
     with open(os.path.join(configs_root_dir, train_cfg["model_config_file"])) as f:
         model_cfg = yaml.safe_load(f)
     return train_cfg, task_cfg, model_cfg
-
-
-class TrainState(Tuple):
-    pass
 
 
 def make_optimizer(opt_kwargs: Dict) -> optax.GradientTransformation:
@@ -83,7 +79,7 @@ class DiffusionEdfTrainer:
         train_configs_file: str = "train_configs.yaml",
         task_configs_file: str = "task_configs.yaml",
         log_dir: Optional[str] = None,
-        n_scene_pad: int = 1024,
+        n_scene_pad: int = 2048,
         n_grasp_pad: int = 512,
     ):
         self.configs_root_dir = configs_root_dir

@@ -61,6 +61,20 @@ def test_agent_sample(agent):
     np.testing.assert_allclose(m[:, 4:], traj[-1][:, 4:] * 0.01, atol=1e-6)
 
 
+def test_agent_no_retrace_on_repeat_sample(agent):
+    """VERDICT round-1 item 5: after a warmup with the real schedules, repeat
+    ``sample()`` calls must not trace or compile anything new — the jitted
+    entry points live in per-bundle runtimes and cache per shape."""
+    demo = make_synthetic_demo(1, n_scene=600, n_grasp=150)[0]
+    Ts_init = np.asarray([[1.0, 0, 0, 0, 0.0, 0.3, 0.1], [1.0, 0, 0, 0, 0.05, 0.35, 0.1]])
+    agent.warmup(demo.scene_pcd, demo.grasp_pcd, n_seeds=2, diffusion_configs=DIFF_CFG,
+                 record_trajectory=True)
+    sizes0 = agent._runtimes[0].cache_sizes()
+    for i in range(2):
+        agent.sample(demo.scene_pcd, demo.grasp_pcd, Ts_init, key=jax.random.PRNGKey(i), **DIFF_CFG)
+    assert agent._runtimes[0].cache_sizes() == sizes0
+
+
 def test_trajectories():
     pose = np.array([1.0, 0, 0, 0, 0.1, 0.2, 0.3])
     pre = compute_pre_pick_trajectory(pose, approach_len=0.1, n_steps=5)

@@ -1,0 +1,270 @@
+"""Torch-checkpoint importer tests (VERDICT round-1 item 2).
+
+Real reference checkpoints are LFS pointers in this environment, so these
+tests validate the import MECHANICS end-to-end on synthetic state dicts whose
+semantics are defined by the documented reference layouts
+(``tensor_product_rescale.py:94-127``, ``equiformer/radial_func.py:11-60``):
+a numpy oracle computes the reference module's forward (e3nn basis, flat
+instruction-ordered weights, rescale baked into weights), and the imported
+flax module must reproduce it exactly through the basis change.
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_edf_tpu.geom.irreps import Irrep, Irreps
+from diffusion_edf_tpu.importer import (
+    basis_e3nn_to_ours,
+    e3nn_w3j,
+    feature_basis_matrix,
+    import_dtp_radial_profile,
+    import_fctp,
+    import_gaussian_radial_basis,
+    import_irreps_linear,
+    path_sign,
+    su2_clebsch_gordan,
+)
+
+
+# --------------------------------------------------------------------------- #
+# convention reconstruction self-checks
+# --------------------------------------------------------------------------- #
+def test_e3nn_w3j_identity_paths():
+    for l in range(3):
+        C = e3nn_w3j(l, 0, l)
+        assert np.allclose(C[:, 0, :], np.eye(2 * l + 1) / math.sqrt(2 * l + 1), atol=1e-12)
+
+
+def test_e3nn_w3j_levi_civita():
+    C = e3nn_w3j(1, 1, 1)
+    eps = np.zeros((3, 3, 3))
+    for i, j, k in [(0, 1, 2), (1, 2, 0), (2, 0, 1)]:
+        eps[i, j, k] = 1.0
+        eps[j, i, k] = -1.0
+    assert np.allclose(np.abs(C), np.abs(eps) / math.sqrt(6.0), atol=1e-12)
+
+
+def test_basis_change_orthogonal_and_l1_permutation():
+    B1 = basis_e3nn_to_ours(1)
+    # ours (x,y,z) = e3nn (y,z,x): x <- slot 2, y <- slot 0, z <- slot 1
+    P = np.zeros((3, 3))
+    P[0, 2] = P[1, 0] = P[2, 1] = 1.0
+    assert np.allclose(B1, P, atol=1e-10)
+    for l in range(3):
+        B = basis_e3nn_to_ours(l)
+        assert np.allclose(B @ B.T, np.eye(2 * l + 1), atol=1e-10)
+
+
+def test_e3nn_w3j_invariance_under_e3nn_wigner():
+    """C must be invariant under D^l1 (x) D^l2 (x) D^l3 expressed in the e3nn
+    basis (derived from our CG-recursion Wigner-D through B_l)."""
+    from diffusion_edf_tpu.geom import so3, wigner
+
+    q = so3.normalize_quaternion(jnp.asarray([0.3, -0.5, 0.7, 0.4]))
+    Ds = {l: np.asarray(wigner.wigner_D_from_quaternion(l, q[None]))[0] for l in range(3)}
+    for (l1, l2, l3) in [(1, 1, 2), (1, 2, 2), (2, 2, 2), (1, 1, 0), (2, 2, 0), (1, 2, 1), (2, 2, 1), (1, 1, 1)]:
+        C = e3nn_w3j(l1, l2, l3)
+        D = [basis_e3nn_to_ours(l).T @ Ds[l] @ basis_e3nn_to_ours(l) for l in (l1, l2, l3)]
+        C2 = np.einsum("ia,jb,kc,abc->ijk", D[0], D[1], D[2], C)
+        assert np.abs(C2 - C).max() < 1e-5, (l1, l2, l3)
+        s = path_sign(l1, l2, l3)
+        assert s in (1.0, -1.0)
+
+
+def test_su2_cg_unitarity():
+    for (j1, j2, j3) in [(1, 1, 2), (1, 1, 1), (2, 2, 2), (1, 2, 2)]:
+        C = su2_clebsch_gordan(j1, j2, j3)
+        # rows (m1,m2) x columns m3 of the coupling matrix are orthonormal
+        M = C.reshape(-1, 2 * j3 + 1)
+        assert np.allclose(M.T @ M, np.eye(2 * j3 + 1), atol=1e-12)
+
+
+# --------------------------------------------------------------------------- #
+# numpy oracles for the reference (torch/e3nn) modules
+# --------------------------------------------------------------------------- #
+def _e3nn_fctp_oracle(x1, x2, flat_w, irreps_in1, irreps_in2, irreps_out, biases=None):
+    """Reference FCTP Rescale forward: e3nn basis, component normalization,
+    path_normalization='none', rescale baked into weights."""
+    irreps_in1, irreps_in2, irreps_out = Irreps(irreps_in1), Irreps(irreps_in2), Irreps(irreps_out)
+    s1, s2, s3 = irreps_in1.slices(), irreps_in2.slices(), irreps_out.slices()
+    out = np.zeros(x1.shape[:-1] + (irreps_out.dim,))
+    off = 0
+    for i1, (m1, ir1) in enumerate(irreps_in1):
+        for i2, (m2, ir2) in enumerate(irreps_in2):
+            for io, (m3, ir3) in enumerate(irreps_out):
+                if ir3 not in ir1 * ir2:
+                    continue
+                C = e3nn_w3j(ir1.l, ir2.l, ir3.l) * math.sqrt(2 * ir3.l + 1)
+                w = flat_w[off : off + m1 * m2 * m3].reshape(m1, m2, m3)
+                off += m1 * m2 * m3
+                b1 = x1[..., s1[i1]].reshape(x1.shape[:-1] + (m1, ir1.dim))
+                b2 = x2[..., s2[i2]].reshape(x2.shape[:-1] + (m2, ir2.dim))
+                t = np.einsum("...ui,...vj,ijk,uvw->...wk", b1, b2, C, w)
+                out[..., s3[io]] += t.reshape(x1.shape[:-1] + (m3 * ir3.dim,))
+    if biases is not None:
+        b0 = 0
+        for io, (m3, ir3) in enumerate(irreps_out):
+            if ir3 == Irrep(0, 1):
+                out[..., s3[io]] += biases[b0 : b0 + m3]
+                b0 += m3
+    return out
+
+
+def _e3nn_dtp_oracle(x1, sh, w_edge, irreps_in1, irreps_sh, prog):
+    """Reference DepthwiseTensorProduct forward ('uvu', external per-edge
+    weights from the radial MLP, rescale baked into those weights)."""
+    irreps_in1, irreps_sh = Irreps(irreps_in1), Irreps(irreps_sh)
+    s1, s2 = irreps_in1.slices(), irreps_sh.slices()
+    out_slices = prog.irreps_out.slices()
+    out = np.zeros(x1.shape[:-1] + (prog.irreps_out.dim,))
+    for ins in prog.instructions:
+        m1, m2 = ins.w_shape
+        ir1 = irreps_in1[ins.i_in1][1]
+        ir2 = irreps_sh[ins.i_in2][1]
+        ir3 = prog.irreps_out[ins.i_out][1]
+        C = e3nn_w3j(ir1.l, ir2.l, ir3.l) * math.sqrt(2 * ir3.l + 1)
+        w = w_edge[..., ins.w_start : ins.w_start + m1 * m2].reshape(w_edge.shape[:-1] + (m1, m2))
+        b1 = x1[..., s1[ins.i_in1]].reshape(x1.shape[:-1] + (m1, ir1.dim))
+        b2 = sh[..., s2[ins.i_in2]].reshape(sh.shape[:-1] + (m2, ir2.dim))
+        t = np.einsum("...ui,...vj,ijk,...uv->...uk", b1, b2, C, w)
+        out[..., out_slices[ins.i_out]] += t.reshape(x1.shape[:-1] + (m1 * ir3.dim,))
+    return out
+
+
+def _torch_radial_profile_oracle(x, sd, prefix):
+    """Reference RadialProfile: Linear -> [LayerNorm -> SiLU] -> Linear, +offset."""
+    h = x
+    li = 0
+    while f"{prefix}net.{li}.weight" in sd:
+        W = sd[f"{prefix}net.{li}.weight"]
+        h = h @ W.T
+        if f"{prefix}net.{li}.bias" in sd:
+            h = h + sd[f"{prefix}net.{li}.bias"]
+        if f"{prefix}net.{li + 3}.weight" in sd:
+            mu = h.mean(-1, keepdims=True)
+            var = h.var(-1, keepdims=True)
+            h = (h - mu) / np.sqrt(var + 1e-5)
+            h = h * sd[f"{prefix}net.{li + 1}.weight"] + sd[f"{prefix}net.{li + 1}.bias"]
+            h = h / (1.0 + np.exp(-h)) * 1.0 if False else h * (1.0 / (1.0 + np.exp(-h)))
+        li += 3
+    if f"{prefix}offset" in sd:
+        h = h + sd[f"{prefix}offset"].reshape(-1)
+    return h
+
+
+# --------------------------------------------------------------------------- #
+# import round-trips
+# --------------------------------------------------------------------------- #
+IRR1 = Irreps("8x0e+4x1e+2x2e")
+IRR_SH = Irreps("1x0e+1x1e+1x2e")
+IRR_OUT = Irreps("6x0e+3x1e+2x2e")
+
+
+def test_import_irreps_linear_matches_oracle():
+    from diffusion_edf_tpu.nn.layers import IrrepsLinear
+
+    rng = np.random.default_rng(0)
+    ins, numel, _ = __import__("diffusion_edf_tpu.importer", fromlist=["x"])._fctp_torch_instructions(
+        IRR1, Irreps("1x0e"), IRR_OUT
+    )
+    flat = rng.normal(size=(numel,)) * 0.2
+    biases = rng.normal(size=(6,)) * 0.1
+    sd = {"tp.weight": flat, "bias.0": biases}
+
+    params = import_irreps_linear(sd, "", IRR1, IRR_OUT)
+    x_e = rng.normal(size=(5, IRR1.dim))
+    oracle = _e3nn_fctp_oracle(x_e, np.ones((5, 1)), flat, IRR1, "1x0e", IRR_OUT, biases=biases)
+
+    M1 = feature_basis_matrix(IRR1)
+    M3 = feature_basis_matrix(IRR_OUT)
+    lin = IrrepsLinear(IRR1, IRR_OUT)
+    out = lin.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)}, jnp.asarray(x_e @ M1.T))
+    assert np.allclose(np.asarray(out), oracle @ M3.T, atol=1e-5)
+
+
+def test_import_fctp_matches_oracle():
+    from diffusion_edf_tpu.nn.tp import fctp_instructions
+    from diffusion_edf_tpu.nn.tp_modules import FullyConnectedTP
+
+    rng = np.random.default_rng(1)
+    prog = fctp_instructions(IRR1, IRR_SH, IRR_OUT)
+    flat = rng.normal(size=(prog.weight_numel,)) * 0.2
+    biases = rng.normal(size=(6,)) * 0.1
+    sd = {"tp.weight": flat, "bias.0": biases}
+
+    params = import_fctp(sd, "", IRR1, IRR_SH, IRR_OUT)
+    x1_e = rng.normal(size=(4, IRR1.dim))
+    x2_e = rng.normal(size=(4, IRR_SH.dim))
+    oracle = _e3nn_fctp_oracle(x1_e, x2_e, flat, IRR1, IRR_SH, IRR_OUT, biases=biases)
+
+    M1, M2, M3 = (feature_basis_matrix(i) for i in (IRR1, IRR_SH, IRR_OUT))
+    mod = FullyConnectedTP(IRR1, IRR_SH, IRR_OUT)
+    out = mod.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x1_e @ M1.T),
+        jnp.asarray(x2_e @ M2.T),
+    )
+    assert np.allclose(np.asarray(out), oracle @ M3.T, atol=1e-5)
+
+
+def test_import_separable_fctp_radial_matches_oracle():
+    """Radial MLP (torch layout) + DTP: the imported RadialProfile must drive
+    our DTP to the reference pipeline's output through the basis change."""
+    from diffusion_edf_tpu.nn.tp import dtp_instructions
+    from diffusion_edf_tpu.nn.radial import RadialProfile
+    from diffusion_edf_tpu.nn.tp_modules import DepthwiseTP
+
+    rng = np.random.default_rng(2)
+    prog = dtp_instructions(IRR1, IRR_SH, IRR_OUT)
+    fc = [10, 16]
+    sizes = fc + [prog.weight_numel]
+    sd = {}
+    for li, (cin, cout) in enumerate(zip(sizes[:-1], sizes[1:])):
+        t = 3 * li
+        sd[f"net.{t}.weight"] = rng.normal(size=(cout, cin)) * 0.3
+        if li < len(sizes) - 2:
+            sd[f"net.{t}.bias"] = rng.normal(size=(cout,)) * 0.1
+            sd[f"net.{t + 1}.weight"] = rng.normal(size=(cout,)) * 0.1 + 1.0
+            sd[f"net.{t + 1}.bias"] = rng.normal(size=(cout,)) * 0.1
+    sd["offset"] = rng.normal(size=(prog.weight_numel,)) * 0.05
+
+    scalars = rng.normal(size=(7, fc[0]))
+    x1_e = rng.normal(size=(7, IRR1.dim))
+    sh_e = rng.normal(size=(7, IRR_SH.dim))
+    w_edge = _torch_radial_profile_oracle(scalars, sd, "")
+    oracle = _e3nn_dtp_oracle(x1_e, sh_e, w_edge, IRR1, IRR_SH, prog)
+
+    params_rad = import_dtp_radial_profile(sd, "", IRR1, IRR_SH, IRR_OUT)
+    rad = RadialProfile(ch_list=tuple(fc) + (prog.weight_numel,))
+    w_ours = rad.apply({"params": jax.tree_util.tree_map(jnp.asarray, params_rad)}, jnp.asarray(scalars))
+    dtp = DepthwiseTP(IRR1, IRR_SH, IRR_OUT)
+    M1, M2, M3 = (feature_basis_matrix(i) for i in (IRR1, IRR_SH, prog.irreps_out))
+    out = dtp.apply({"params": {}}, jnp.asarray(x1_e @ M1.T), jnp.asarray(sh_e @ M2.T), w_ours)
+    assert np.allclose(np.asarray(out), oracle @ M3.T, atol=2e-4)
+
+
+def test_import_gaussian_radial_basis_roundtrip():
+    rng = np.random.default_rng(3)
+    sd = {
+        "mean": rng.uniform(0, 1, (1, 8)),
+        "std_logit": rng.normal(size=(1, 8)),
+        "weight_logit": rng.normal(size=(1, 8)),
+    }
+    p = import_gaussian_radial_basis(sd, "")
+    assert p["mean"].shape == (8,)
+    from diffusion_edf_tpu.nn.radial import GaussianRadialBasisFiniteCutoff
+
+    mod = GaussianRadialBasisFiniteCutoff(num_basis=8, cutoff=5.0)
+    out = mod.apply({"params": jax.tree_util.tree_map(jnp.asarray, p)}, jnp.asarray([1.0, 2.5]))
+    # numpy oracle of the reference forward (radial_func.py:231-278)
+    d = (np.asarray([1.0, 2.5]) - 0.05) / (5.0 - 0.05)
+    g = np.exp(-0.5 * ((d[:, None] - sd["mean"]) / (np.log1p(np.exp(sd["std_logit"])) + 1e-5)) ** 2)
+    w = 1.0 / (1.0 + np.exp(-sd["weight_logit"])) * 4.0
+    from diffusion_edf_tpu.nn.radial import soft_square_cutoff
+
+    expect = g * w * np.asarray(soft_square_cutoff(jnp.asarray(d)[:, None], thr=0.8)) * math.sqrt(8)
+    assert np.allclose(np.asarray(out), expect, atol=1e-5)

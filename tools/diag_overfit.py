@@ -1,0 +1,101 @@
+"""E1 capacity diagnostic: train on ONE synthetic scene (duplicated so the
+whole-epoch scan amortizes dispatch), then evaluate Langevin sampling on that
+same scene.  If the model can drive rotation error <5 deg here, remaining
+convergence gaps are data/generalization issues, not capacity/optimization.
+
+Run: python tools/diag_overfit.py [--epochs 250] [--dup 16] [--out runs/diag_e1]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--task-type", default="pick")
+    p.add_argument("--epochs", type=int, default=250)
+    p.add_argument("--dup", type=int, default=16, help="duplicate the single demo this many times per epoch")
+    p.add_argument("--n-demos", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-seeds", type=int, default=20)
+    p.add_argument("--heldout-demos", type=int, default=0, help="also eval on this many unseen demos (seed offset +100)")
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--n-scene-pad", type=int, default=2048)
+    p.add_argument("--out", default="runs/diag_e1")
+    args = p.parse_args()
+
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle
+    from diffusion_edf_tpu.eval import evaluate_agent
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_dataset
+    from diffusion_edf_tpu.train.trainer import DiffusionEdfTrainer
+
+    demos = make_synthetic_dataset(n_demos=args.n_demos, seed=args.seed)
+    tr = DiffusionEdfTrainer(
+        args.configs_root_dir,
+        task_configs_file="task_configs.yaml",
+        log_dir=args.out,
+        n_scene_pad=args.n_scene_pad,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    tr.init(demos * args.dup, k_init)
+    if args.resume_from:
+        tr.restore(args.resume_from)
+        print(f"resumed from {args.resume_from} at epoch {tr.epoch}", flush=True)
+    print(f"params: {tr.n_params():,}  demos: {args.n_demos} x{args.dup}", flush=True)
+
+    t0 = time.time()
+    for _ in range(args.epochs):
+        key, sub = jax.random.split(key)
+        stats = tr.train_epoch(sub)
+        if tr.epoch % 10 == 0 or tr.epoch == 1:
+            print(
+                f"epoch {tr.epoch:4d} step {tr.steps:6d} loss {stats['loss/train']:.4f} "
+                f"(ang {stats['loss/angular']:.4f} lin {stats['loss/linear']:.4f}) "
+                f"align_ang {stats['alignment/normalized/ang']:.3f} {time.time()-t0:.0f}s",
+                flush=True,
+            )
+    ckpt = tr.save()
+    print("checkpoint ->", ckpt, flush=True)
+
+    bundle = ModelBundle(
+        model=tr.model, params=tr.params, ang_mult=tr.ang_mult, lin_mult=tr.lin_mult,
+        n_scene_pad=args.n_scene_pad, name="diag",
+    )
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+    agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
+    report = evaluate_agent(
+        agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed + 1
+    )
+    report["train_steps"] = tr.steps
+    report["wall_s"] = round(time.time() - t0, 1)
+    out = {"train_scenes": report}
+    if args.heldout_demos:
+        heldout = make_synthetic_dataset(n_demos=args.heldout_demos, seed=args.seed + 100)
+        out["heldout_scenes"] = evaluate_agent(
+            agent, heldout, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed + 2
+        )
+    text = json.dumps(out, indent=2)
+    print(text, flush=True)
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""CLI: inspect / convert a reference diffusion_edf torch checkpoint.
+
+Usage::
+
+    python tools/import_torch.py CHECKPOINT.pt --inspect
+    python tools/import_torch.py CHECKPOINT.pt --out params.npz \
+        [--spec spec.json]
+
+The reference checkpoint layout is ``{'epoch', 'steps',
+'score_model_state_dict', 'optimizer_state_dict'}`` (``trainer.py:237-242``).
+``--inspect`` groups the state dict by module prefix and identifies the
+primitive types this importer understands (LinearRS / FCTP / RadialProfile /
+EquivariantLayerNormV2 / Gaussian radial basis).  ``--spec`` maps torch module
+prefixes to flax param paths + converter kwargs; converted arrays are written
+to an ``.npz`` with flax path keys (``a/b/c``).
+
+Spec entry format (JSON list)::
+
+    {"torch": "score_head.tensor_field.gnn_block_0.ga.alpha_lin.",
+     "flax": "score_head/field/block0/alpha_lin",
+     "kind": "irreps_linear",
+     "irreps_in": "64x0e+32x1e+16x2e", "irreps_out": "8x0e"}
+
+Kinds: irreps_linear | fctp | dtp_radial | layer_norm | gaussian_basis | raw.
+The convention tables (basis change, path signs, rescale constants) live in
+``diffusion_edf_tpu/importer.py`` and are covered by ``tests/test_importer.py``.
+"""
+import argparse
+import collections
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffusion_edf_tpu.importer import (  # noqa: E402
+    import_dtp_radial_profile,
+    import_equivariant_layer_norm,
+    import_fctp,
+    import_gaussian_radial_basis,
+    import_irreps_linear,
+)
+
+KIND_FNS = {
+    "irreps_linear": lambda sd, e: import_irreps_linear(sd, e["torch"], e["irreps_in"], e["irreps_out"]),
+    "fctp": lambda sd, e: import_fctp(sd, e["torch"], e["irreps_in1"], e["irreps_in2"], e["irreps_out"]),
+    "dtp_radial": lambda sd, e: import_dtp_radial_profile(
+        sd, e["torch"], e["irreps_in"], e["irreps_edge"], e["irreps_out_target"]
+    ),
+    "layer_norm": lambda sd, e: import_equivariant_layer_norm(sd, e["torch"]),
+    "gaussian_basis": lambda sd, e: import_gaussian_radial_basis(sd, e["torch"]),
+    "raw": lambda sd, e: {"value": np.asarray(sd[e["torch"]])},
+}
+
+_PRIMITIVE_HINTS = [
+    ("tp.weight", "LinearRS/FCTP (flat TP weight)"),
+    ("net.0.weight", "RadialProfile"),
+    ("affine_weight", "EquivariantLayerNormV2"),
+    ("std_logit", "Gaussian radial basis"),
+    ("offset", "RadialProfile offset"),
+]
+
+
+def load_state_dict(path: str):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("score_model_state_dict", ckpt)
+    return {k: np.asarray(v) for k, v in sd.items()}, {
+        k: ckpt[k] for k in ("epoch", "steps") if isinstance(ckpt, dict) and k in ckpt
+    }
+
+
+def inspect(sd):
+    groups = collections.defaultdict(list)
+    for k, v in sd.items():
+        mod = k.rsplit(".", 2)[0] if "." in k else k
+        groups[mod].append((k, tuple(v.shape)))
+    for mod in sorted(groups):
+        kinds = sorted(
+            {hint for suffix, hint in _PRIMITIVE_HINTS if any(k.endswith(suffix) for k, _ in groups[mod])}
+        )
+        print(f"{mod}  [{', '.join(kinds) if kinds else '?'}]")
+        for k, shape in sorted(groups[mod]):
+            print(f"    {k}  {shape}")
+
+
+def flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("checkpoint")
+    p.add_argument("--inspect", action="store_true")
+    p.add_argument("--spec", default=None, help="JSON conversion spec")
+    p.add_argument("--out", default=None, help="output .npz of flax params")
+    args = p.parse_args(argv)
+
+    sd, meta = load_state_dict(args.checkpoint)
+    print(f"{len(sd)} tensors; meta={meta}")
+    if args.inspect or not args.spec:
+        inspect(sd)
+        if not args.spec:
+            return
+    with open(args.spec) as f:
+        spec = json.load(f)
+    converted = {}
+    for entry in spec:
+        fn = KIND_FNS[entry["kind"]]
+        params = fn(sd, entry)
+        converted.update(flatten(params, entry["flax"]))
+        print(f"converted {entry['torch']} -> {entry['flax']} ({entry['kind']})")
+    if args.out:
+        np.savez(args.out, **converted)
+        print(f"wrote {len(converted)} arrays -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
