@@ -131,21 +131,42 @@ def main(argv=None):
     p.add_argument("--n-seeds", type=int, default=10)
     p.add_argument("--synthetic-demos", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--splits", nargs="*", default=None,
+                   help="evaluate generalization splits (default: plain eval); "
+                        "no value = all of default/unseen_poses/distractors/unseen_instances")
+    p.add_argument("--n-scene-pad", type=int, default=2048)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
     from .agent import DiffusionEdfAgent, load_model_bundle
-    from .train.synthetic import make_synthetic_dataset
+    from .train.synthetic import SPLITS, make_split_dataset, make_synthetic_dataset
 
-    bundle = load_model_bundle(args.configs_root_dir, checkpoint_dir=args.checkpoint_dir)
+    bundle = load_model_bundle(
+        args.configs_root_dir, checkpoint_dir=args.checkpoint_dir, n_scene_pad=args.n_scene_pad
+    )
     preprocess = [
         dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
         dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
     ]
     unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
     agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
-    demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
-    report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed)
+    if args.splits is not None:
+        split_names = args.splits or list(SPLITS)
+        report = {}
+        for name in split_names:
+            demos = make_split_dataset(name, n_demos=args.synthetic_demos, seed=args.seed + 1000)
+            report[name] = evaluate_agent(
+                agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed
+            )
+            print(
+                f"[{name}] trans_cm median {report[name]['trans_err_cm']['median']:.2f} "
+                f"rot_deg median {report[name]['rot_err_deg']['median']:.2f} "
+                f"success {report[name]['success_rate']:.2f}",
+                flush=True,
+            )
+    else:
+        demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
+        report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed)
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:

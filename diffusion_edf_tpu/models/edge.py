@@ -146,7 +146,8 @@ class RadiusEdgeEncoder(nn.Module):
     @nn.compact
     def __call__(self, src: FeaturedPoints, dst: FeaturedPoints) -> GraphEdges:
         idx, mask = radius_neighbors(
-            src.x, dst.x, self.r_cutoff, self.k, src_mask=src.mask, dst_mask=dst.mask
+            src.x, dst.x, self.r_cutoff, self.k, src_mask=src.mask, dst_mask=dst.mask,
+            tag=f"radius_edge/{self.name or 'r%g' % self.r_cutoff}",
         )
         r = float(self.r_cutoff)
         if self.length_enc_dim is None:

@@ -61,6 +61,7 @@ def _edges(
     exclude_src_idx=None,
     exclude_src_owner=None,
     exclude_diagonal: bool = False,
+    tag: str = "",
 ) -> GraphEdges:
     idx, mask = radius_neighbors(
         src.x,
@@ -72,6 +73,7 @@ def _edges(
         exclude_src_idx=exclude_src_idx,
         exclude_src_owner=exclude_src_owner,
         exclude_diagonal=exclude_diagonal,
+        tag=tag,
     )
     vec = src.x[idx] - dst.x[:, None, :]
     length = jnp.linalg.norm(vec + 1e-20, axis=-1)
@@ -171,6 +173,7 @@ class _DownPath(nn.Module):
             pool_edges = _edges(
                 src, dst, self.radii[n], min(self.k_pool[n], src.n),
                 Irreps(self.irreps_edge_attr[n]), exclude_src_idx=fps_idx,
+                tag=f"extractor/pool_{n}",
             )
             pool_sources.append((src, fps_idx))
             points = _ScaleLayer(
@@ -187,7 +190,7 @@ class _DownPath(nn.Module):
             stack.append(points)
 
             # ---- self radius-graph layers ----
-            self_edges = _edges(points, points, self.radii[n], min(self.k_self[n], points.n), Irreps(self.irreps_edge_attr[n]), exclude_diagonal=True)
+            self_edges = _edges(points, points, self.radii[n], min(self.k_self[n], points.n), Irreps(self.irreps_edge_attr[n]), exclude_diagonal=True, tag=f"extractor/self_{n}")
             for i in range(self.n_layers[n] - 1):
                 points = _ScaleLayer(
                     irreps_src=emb[n],
@@ -345,6 +348,7 @@ class UnetFeatureExtractor(nn.Module):
                 up_edges = _edges(
                     points, fine, radii[n], min(self.k_up[n], points.n),
                     Irreps(self.irreps_edge_attr[n]), exclude_src_owner=fps_idx_n,
+                    tag=f"extractor/up_{n}",
                 )
                 dst = FeaturedPoints(x=fine.x, f=dst_saved.f, mask=fine.mask, w=fine.w)
                 points = _ScaleLayer(

@@ -16,7 +16,8 @@ much larger clouds.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import contextlib
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,9 +29,71 @@ __all__ = [
     "dense_neighbors",
     "farthest_point_sampling",
     "count_within_radius",
+    "record_degree_tape",
+    "DegreeRecord",
 ]
 
 _INF = jnp.inf
+
+
+class DegreeRecord(NamedTuple):
+    """One ``radius_neighbors`` call's truncation diagnostics (traced arrays
+    unless recorded eagerly)."""
+
+    tag: str
+    r: float
+    k: int
+    degree: jnp.ndarray  # (Nd,) in-radius candidate count BEFORE the top-k cap
+    dst_mask: Optional[jnp.ndarray]  # (Nd,) or None
+
+
+_DEGREE_TAPE: Optional[List[DegreeRecord]] = None
+
+
+@contextlib.contextmanager
+def record_degree_tape():
+    """Collect per-call in-radius degrees from every ``radius_neighbors``
+    inside the context (including at jit TRACE time — trace the model inside
+    this context and return the tape entries from the traced function to get
+    concrete arrays).
+
+    Quantifies K-truncation: the reference caps neighborhoods at 1000
+    unordered (``connectivity.py:42``); this build uses small static nearest-k
+    caps, and ``degree > k`` marks dst points whose neighborhood was clipped.
+    """
+    global _DEGREE_TAPE
+    prev = _DEGREE_TAPE
+    tape: List[DegreeRecord] = []
+    _DEGREE_TAPE = tape
+    try:
+        yield tape
+    finally:
+        _DEGREE_TAPE = prev
+
+
+def summarize_degree_tape(tape, degrees) -> List[dict]:
+    """Host-side summary: ``degrees`` are the concrete (Nd,) arrays matching
+    ``tape`` order (the traced ``rec.degree`` values returned from jit)."""
+    import numpy as np
+
+    out = []
+    for rec, deg in zip(tape, degrees):
+        deg = np.asarray(deg)
+        m = np.ones(deg.shape, bool) if rec.dst_mask is None else np.asarray(rec.dst_mask)
+        d = deg[m]
+        n = max(int(d.size), 1)
+        out.append(
+            dict(
+                tag=rec.tag,
+                r=float(rec.r),
+                k=int(rec.k),
+                n_dst=int(d.size),
+                max_degree=int(d.max()) if d.size else 0,
+                mean_degree=float(d.mean()) if d.size else 0.0,
+                frac_truncated=float((d > rec.k).sum() / n),
+            )
+        )
+    return out
 
 
 def pairwise_sqdist(dst_x: jnp.ndarray, src_x: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +117,7 @@ def radius_neighbors(
     exclude_diagonal: bool = False,
     exclude_src_idx: Optional[jnp.ndarray] = None,
     exclude_src_owner: Optional[jnp.ndarray] = None,
+    tag: str = "",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bipartite fixed-radius search -> (idx (Nd, k), valid (Nd, k)).
 
@@ -88,6 +152,12 @@ def radius_neighbors(
         assert dst_x.shape[0] == ns, "exclude_diagonal requires a square graph"
         bad |= jnp.eye(ns, dtype=bool)
     bad |= d2 > r * r
+    if _DEGREE_TAPE is not None:
+        _DEGREE_TAPE.append(
+            DegreeRecord(tag=tag, r=float(r), k=int(k),
+                         degree=jnp.sum((~bad).astype(jnp.int32), axis=-1),
+                         dst_mask=dst_mask)
+        )
     score = jnp.where(bad, _INF, d2)
     neg_top, idx = jax.lax.top_k(-score, k)
     valid = neg_top > -_INF

@@ -17,7 +17,12 @@ import numpy as np
 
 from .data import DemoSequence, PointCloud, TargetPoseDemo
 
-__all__ = ["make_synthetic_demo", "make_synthetic_dataset"]
+__all__ = [
+    "make_synthetic_demo",
+    "make_synthetic_dataset",
+    "make_split_dataset",
+    "SPLITS",
+]
 
 
 def _cylinder(rng, center, axis, radius, length, n, color):
@@ -54,24 +59,53 @@ def _disk(rng, center, radius, n, color):
     return pts, cols
 
 
-def _mug(rng, n, color):
+def _mug(rng, n, color, shape_scale: float = 1.0):
     """Mug-like object in its own (grasp) frame: cylinder + closed bottom +
     handle + a bright rim marker.  The bottom disk and marker break the
     approximate 180-degree flip symmetry of an open shell, so target
     orientations are unambiguous (pose metrics would otherwise count valid
-    symmetric samples as ~180-degree errors)."""
+    symmetric samples as ~180-degree errors).
+
+    ``shape_scale`` != 1 yields an unseen mug *instance* (different
+    radius/height, handle kept at the same grasp offset so target poses stay
+    comparable) — the analog of the reference's unseen-instance test mugs
+    (``evaluate_real_mug.ipynb`` cells 5,9-10)."""
+    body_r = 0.035 * shape_scale
+    body_h = 0.08 * (2.0 - shape_scale)  # taller when thinner, squatter when wider
     n_body = int(n * 0.55)
     n_handle = int(n * 0.2)
     n_bottom = int(n * 0.15)
     n_marker = n - n_body - n_handle - n_bottom
-    body, cb = _cylinder(rng, [0, 0, 0.04], [0, 0, 1], 0.035, 0.08, n_body, color)
-    handle, ch = _cylinder(rng, [0.045, 0, 0.04], [0, 0, 1], 0.012, 0.05, n_handle, color)
-    bottom, cbo = _disk(rng, [0, 0, 0.0], 0.035, n_bottom, [0.8, 0.1, 0.1])
-    marker, cm = _cylinder(rng, [-0.03, 0, 0.085], [0, 0, 1], 0.006, 0.01, n_marker, [0.95, 0.9, 0.1])
+    body, cb = _cylinder(rng, [0, 0, body_h / 2], [0, 0, 1], body_r, body_h, n_body, color)
+    handle, ch = _cylinder(rng, [0.01 + body_r, 0, 0.04], [0, 0, 1], 0.012, 0.05, n_handle, color)
+    bottom, cbo = _disk(rng, [0, 0, 0.0], body_r, n_bottom, [0.8, 0.1, 0.1])
+    marker, cm = _cylinder(
+        rng, [-(body_r - 0.005), 0, body_h + 0.005], [0, 0, 1], 0.006, 0.01, n_marker, [0.95, 0.9, 0.1]
+    )
     return (
         np.concatenate([body, handle, bottom, marker]),
         np.concatenate([cb, ch, cbo, cm]),
     )
+
+
+def _distractors(rng, n, n_objects):
+    """Clutter objects on the table (unseen-distractor split): random small
+    cylinders/disks away from the work area."""
+    pts, cols = [], []
+    per = max(n // max(n_objects, 1), 1)
+    for i in range(n_objects):
+        if i == n_objects - 1:
+            per = n - per * (n_objects - 1)  # exact total
+        kind = rng.integers(0, 2)
+        center = np.array([rng.uniform(-0.22, 0.22), rng.uniform(0.18, 0.52), rng.uniform(0.01, 0.05)])
+        color = rng.uniform(0.1, 0.9, 3)
+        if kind == 0:
+            p, c = _cylinder(rng, center, [0, 0, 1], rng.uniform(0.01, 0.03), rng.uniform(0.04, 0.1), per, color)
+        else:
+            p, c = _disk(rng, center, rng.uniform(0.02, 0.05), per, color)
+        pts.append(p)
+        cols.append(c)
+    return np.concatenate(pts), np.concatenate(cols)
 
 
 def _quat_about(axis, angle):
@@ -93,38 +127,69 @@ def _quat_mul(a, b):
     )
 
 
-def make_synthetic_demo(seed: int, n_scene: int = 2800, n_grasp: int = 700) -> DemoSequence:
-    """One pick+place demo sequence (step 0 = pick, step 1 = place)."""
+def make_synthetic_demo(
+    seed: int,
+    n_scene: int = 2800,
+    n_grasp: int = 700,
+    pose_shift: bool = False,
+    n_distractors: int = 0,
+    shape_scale: float = 1.0,
+) -> DemoSequence:
+    """One pick+place demo sequence (step 0 = pick, step 1 = place).
+
+    Generalization-split knobs (reference semantics: per-split test demo sets,
+    ``evaluate_real_mug.ipynb`` cells 5,9-10):
+
+    * ``pose_shift`` — pole/mug poses OUTSIDE the training ranges (steeper
+      pole tilt, mug beyond the training x/y box).
+    * ``n_distractors`` — clutter objects added to the scene.
+    * ``shape_scale`` — mug radius/height variation (unseen instance).
+    """
     rng = np.random.default_rng(seed)
 
     # --- table + hanger pole scene ---
     table, tc = _plane(rng, [0, 0.35, 0.0], 0, 0, 0.5, int(n_scene * 0.5), [0.45, 0.35, 0.25])
     pole_base = np.array([rng.uniform(-0.1, 0.1), rng.uniform(0.3, 0.45), 0.12])
     yaw = rng.uniform(0, 2 * np.pi)
-    pole_dir = np.array([np.cos(yaw) * 0.25, np.sin(yaw) * 0.25, 0.97])
+    tilt = 0.5 if pose_shift else 0.25  # training draws lateral extent 0.25
+    pole_dir = np.array([np.cos(yaw) * tilt, np.sin(yaw) * tilt, 0.97])
     pole_dir /= np.linalg.norm(pole_dir)
     pole, pc = _cylinder(rng, pole_base + 0.1 * pole_dir, pole_dir, 0.008, 0.2, int(n_scene * 0.2), [0.7, 0.7, 0.2])
     # mug resting on the table (for the pick step)
-    mug_pos = np.array([rng.uniform(-0.15, 0.15), rng.uniform(0.25, 0.45), 0.0])
+    if pose_shift:
+        # outside the training box ([-0.15,0.15] x [0.25,0.45])
+        mug_pos = np.array(
+            [rng.uniform(0.15, 0.22) * rng.choice([-1.0, 1.0]), rng.uniform(0.45, 0.55), 0.0]
+        )
+    else:
+        mug_pos = np.array([rng.uniform(-0.15, 0.15), rng.uniform(0.25, 0.45), 0.0])
     mug_yaw = rng.uniform(0, 2 * np.pi)
-    mug_local, mc = _mug(rng, int(n_scene * 0.3), [0.2, 0.3, 0.7])
+    n_mug = int(n_scene * 0.3) - (int(n_scene * 0.1) if n_distractors else 0)
+    mug_local, mc = _mug(rng, n_mug, [0.2, 0.3, 0.7], shape_scale=shape_scale)
     cz, sz = np.cos(mug_yaw), np.sin(mug_yaw)
     Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
     mug_world = mug_local @ Rz.T + mug_pos
 
-    scene_pts = np.concatenate([table, pole, mug_world])
-    scene_cols = np.concatenate([tc, pc, mc])
+    scene_parts = [table, pole, mug_world]
+    scene_col_parts = [tc, pc, mc]
+    if n_distractors:
+        dp, dc = _distractors(rng, int(n_scene * 0.1), n_distractors)
+        scene_parts.append(dp)
+        scene_col_parts.append(dc)
+    scene_pts = np.concatenate(scene_parts)
+    scene_cols = np.concatenate(scene_col_parts)
     scene = PointCloud(points=scene_pts, colors=scene_cols)
 
     # --- grasped object cloud (mug in gripper frame) ---
-    grasp_local, gc = _mug(rng, n_grasp, [0.2, 0.3, 0.7])
+    handle_off = np.array([0.01 + 0.035 * shape_scale, 0.0, 0.04])
+    grasp_local, gc = _mug(rng, n_grasp, [0.2, 0.3, 0.7], shape_scale=shape_scale)
     # gripper holds the mug by the handle: offset so the handle is at origin
-    grasp_local = grasp_local - np.array([0.045, 0.0, 0.04])
+    grasp_local = grasp_local - handle_off
     grasp = PointCloud(points=grasp_local, colors=gc)
 
     # --- pick target: gripper pose that aligns grasp frame to mug handle ---
     q_pick = _quat_mul(_quat_about([0, 0, 1], mug_yaw), _quat_about([1, 0, 0], 0.0))
-    t_pick = mug_pos + Rz @ np.array([0.045, 0.0, 0.04])
+    t_pick = mug_pos + Rz @ handle_off
     pick_pose = np.concatenate([q_pick, t_pick])[None]
 
     # --- place target: mug hung on the pole tip ---
@@ -141,3 +206,32 @@ def make_synthetic_demo(seed: int, n_scene: int = 2800, n_grasp: int = 700) -> D
 
 def make_synthetic_dataset(n_demos: int = 10, seed: int = 0, **kwargs) -> List[DemoSequence]:
     return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]
+
+
+# Generalization splits (reference: default / unseen poses / unseen
+# distractors / unseen instances test demo sets).  ``default`` is the training
+# distribution with fresh seeds; the others perturb exactly one factor.
+SPLITS = {
+    "default": dict(),
+    "unseen_poses": dict(pose_shift=True),
+    "distractors": dict(n_distractors=3),
+    "unseen_instances": dict(shape_scale=None),  # resolved per-demo below
+}
+
+
+def make_split_dataset(
+    split: str, n_demos: int = 10, seed: int = 1000, **kwargs
+) -> List[DemoSequence]:
+    """Demo set for one generalization split; seeds default to a held-out
+    range (train uses 0..n-1)."""
+    opts = dict(SPLITS[split])
+    out = []
+    rng = np.random.default_rng(seed + 777)
+    for i in range(n_demos):
+        o = dict(opts)
+        if o.get("shape_scale", 1.0) is None:
+            # unseen instance: mug radius 0.7x-1.3x, excluding the training 1.0
+            s = rng.uniform(0.7, 1.3)
+            o["shape_scale"] = float(s if abs(s - 1.0) > 0.08 else s + 0.16)
+        out.append(make_synthetic_demo(seed + i, **o, **kwargs))
+    return out

@@ -17,6 +17,8 @@ from diffusion_edf_tpu.train.synthetic import make_synthetic_demo
 
 from .test_train import TASK_CFG, TINY_MODEL, TRAIN_CFG
 
+pytestmark = pytest.mark.slow
+
 PREPROCESS = [
     dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
     dict(name="rescale", kwargs=dict(rescale_factor=100.0)),

@@ -11,6 +11,8 @@ import yaml
 from diffusion_edf_tpu.models.data import FeaturedPoints
 from diffusion_edf_tpu.train.factory import build_score_model
 
+pytestmark = pytest.mark.slow
+
 CFG_ROOT = os.path.join(os.path.dirname(__file__), "..", "diffusion_edf_tpu", "configs")
 ALL_MODEL_CFGS = sorted(glob.glob(os.path.join(CFG_ROOT, "*", "*", "score_model_configs.yaml")))
 

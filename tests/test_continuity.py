@@ -12,6 +12,10 @@ import numpy as np
 from diffusion_edf_tpu.geom.irreps import Irreps
 from diffusion_edf_tpu.models import FeaturedPoints, MultiscaleTensorField
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 IRREPS = Irreps("8x0e+4x1e+2x2e")
 
 

@@ -13,6 +13,8 @@ from diffusion_edf_tpu.geom import so3, wigner
 from diffusion_edf_tpu.geom.irreps import Irreps
 from diffusion_edf_tpu.models import FeaturedPoints, MultiscaleScoreModel, train_loss
 
+pytestmark = pytest.mark.slow
+
 IRREPS = "8x0e+4x1e+2x2e"
 IRREPS_SH = "1x0e+1x1e+1x2e"
 

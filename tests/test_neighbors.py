@@ -82,3 +82,39 @@ def test_count_within_radius():
     counts = count_within_radius(jnp.asarray(src), jnp.asarray(dst), r)
     d2 = ((dst[:, None, :] - src[None, :, :]) ** 2).sum(-1)
     np.testing.assert_array_equal(np.asarray(counts), (d2 <= r * r).sum(-1))
+
+
+def test_degree_tape_in_jit():
+    """K-truncation instrumentation: the tape records per-dst in-radius
+    degrees at trace time and the summary flags truncated dst points."""
+    from diffusion_edf_tpu.ops.neighbors import (
+        radius_neighbors,
+        record_degree_tape,
+        summarize_degree_tape,
+    )
+    import jax
+
+    rng = np.random.RandomState(5)
+    src = rng.randn(40, 3).astype(np.float32)
+    dst = rng.randn(12, 3).astype(np.float32)
+    r, k = 1.5, 4
+    with record_degree_tape() as tape:
+
+        def fn(s, d):
+            idx, valid = radius_neighbors(s, d, r, k, tag="unit")
+            return idx, [rec.degree for rec in tape]
+
+        _, degrees = jax.jit(fn)(jnp.asarray(src), jnp.asarray(dst))
+
+    assert len(tape) == 1 and tape[0].tag == "unit" and tape[0].k == k
+    d2 = ((dst[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    true_deg = (d2 <= r * r).sum(-1)
+    np.testing.assert_array_equal(np.asarray(degrees[0]), true_deg)
+    (s,) = summarize_degree_tape(tape, degrees)
+    assert s["max_degree"] == true_deg.max()
+    assert s["frac_truncated"] == (true_deg > k).mean()
+    # outside the context nothing records
+    idx2, _ = jax.jit(lambda s, d: radius_neighbors(s, d, r, k))(
+        jnp.asarray(src), jnp.asarray(dst)
+    )
+    assert len(tape) == 1

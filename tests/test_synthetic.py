@@ -1,0 +1,68 @@
+"""Synthetic-task generator: split semantics + pick/place target consistency."""
+import numpy as np
+
+from diffusion_edf_tpu.train.synthetic import (
+    SPLITS,
+    make_split_dataset,
+    make_synthetic_demo,
+    make_synthetic_dataset,
+)
+
+
+def test_default_split_matches_training_distribution():
+    a = make_synthetic_demo(3)
+    b = make_split_dataset("default", n_demos=1, seed=3)[0]
+    np.testing.assert_array_equal(a[0].scene_pcd.points, b[0].scene_pcd.points)
+    np.testing.assert_array_equal(a[0].target_poses, b[0].target_poses)
+
+
+def test_unseen_poses_outside_training_box():
+    for seq in make_split_dataset("unseen_poses", n_demos=6, seed=0):
+        t_pick = seq[0].target_poses[0, 4:]
+        # mug handle is within ~8cm of the mug base; training box is
+        # |x|<=0.15, 0.25<=y<=0.45 — shifted mugs sit clearly outside
+        assert abs(t_pick[0]) > 0.1 or t_pick[1] > 0.45
+
+
+def test_distractor_split_adds_clutter():
+    base = make_synthetic_demo(5)
+    clut = make_split_dataset("distractors", n_demos=1, seed=5)[0]
+    assert clut[0].scene_pcd.points.shape[0] == base[0].scene_pcd.points.shape[0]
+    # distractor scene has points that are far from every base-scene point
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(base[0].scene_pcd.points)
+    d, _ = tree.query(clut[0].scene_pcd.points)
+    assert (d > 0.03).sum() > 50
+
+
+def test_unseen_instance_shape_differs_but_target_tracks_handle():
+    seq = make_split_dataset("unseen_instances", n_demos=1, seed=9)[0]
+    demo = seq[0]
+    # the grasp frame origin is the handle: nearest grasp point ~the handle
+    # cylinder radius away from origin
+    r = np.linalg.norm(demo.grasp_pcd.points, axis=-1).min()
+    assert r < 0.03
+    # pick target still lands on the scene mug (some scene point within 2cm)
+    t = demo.target_poses[0, 4:]
+    d = np.linalg.norm(demo.scene_pcd.points - t, axis=-1).min()
+    assert d < 0.02
+
+
+def test_all_splits_generate():
+    for name in SPLITS:
+        seqs = make_split_dataset(name, n_demos=2, seed=11)
+        assert len(seqs) == 2
+        for seq in seqs:
+            assert seq[0].scene_pcd.points.shape[1] == 3
+            assert np.isfinite(seq[0].scene_pcd.points).all()
+            assert np.isfinite(seq[1].target_poses).all()
+
+
+def test_shape_scale_default_identity():
+    """shape_scale=1 reproduces the original mug exactly (training demos are
+    byte-stable across the split refactor)."""
+    a = make_synthetic_demo(7)
+    b = make_synthetic_demo(7, shape_scale=1.0, n_distractors=0, pose_shift=False)
+    np.testing.assert_array_equal(a[0].scene_pcd.points, b[0].scene_pcd.points)
+    np.testing.assert_array_equal(a[1].target_poses, b[1].target_poses)

@@ -8,6 +8,8 @@ import yaml
 
 from diffusion_edf_tpu.train import DiffusionEdfTrainer, make_synthetic_dataset
 
+pytestmark = pytest.mark.slow
+
 TINY_MODEL = dict(
     model_name="MultiscaleScoreModel",
     model_kwargs=dict(

@@ -1,0 +1,110 @@
+"""Quantify K-truncation on realistic clouds (VERDICT r1 item 6).
+
+The reference caps every radius search at 1000 unordered neighbors
+(``connectivity.py:42``, ``multiscale_tensor_field.py:195``); this build uses
+small static nearest-k caps.  This tool traces the FULL model (extractor +
+keypoint + tensor field) over realistic preprocessed synthetic scenes with the
+degree tape enabled and reports, per call site, the fraction of destination
+points whose true in-radius degree exceeds the cap.
+
+Run: python tools/k_truncation_report.py [--configs-root-dir ...] [--n-demos 5]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def collect(model, params, scene_fp, grasp_fp, Ts, t):
+    """Trace extract+query+score with the degree tape; return host summaries."""
+    from diffusion_edf_tpu.ops.neighbors import record_degree_tape, summarize_degree_tape
+
+    with record_degree_tape() as tape:
+
+        def fn(params, scene_fp, grasp_fp, Ts, t):
+            key_ms = model.apply(params, scene_fp, method=model.get_key_pcd_multiscale)
+            query = model.apply(params, grasp_fp, method=model.get_query_pcd)
+            score = model.apply(params, Ts, key_ms, query, t, method=model.score)
+            return score, [rec.degree for rec in tape]
+
+        _, degrees = jax.jit(fn)(params, scene_fp, grasp_fp, Ts, t)
+    return tape, degrees
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--task-type", default="pick")
+    p.add_argument("--n-demos", type=int, default=5)
+    p.add_argument("--n-scene-pad", type=int, default=2048)
+    p.add_argument("--n-grasp-pad", type=int, default=512)
+    p.add_argument("--n-poses", type=int, default=8, help="diffused poses per scene")
+    p.add_argument("--json-out", default=None)
+    args = p.parse_args()
+
+    from diffusion_edf_tpu.ops.neighbors import summarize_degree_tape
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_dataset
+    from diffusion_edf_tpu.train.trainer import DiffusionEdfTrainer
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    tr = DiffusionEdfTrainer(
+        args.configs_root_dir,
+        n_scene_pad=args.n_scene_pad,
+        n_grasp_pad=args.n_grasp_pad,
+    )
+    demos = make_synthetic_dataset(n_demos=args.n_demos, seed=0)
+    key = jax.random.PRNGKey(0)
+    key, k_init = jax.random.split(key)
+    tr.init(demos, k_init)
+
+    # Accumulate per-tag worst-case stats over demos x random poses spanning
+    # the diffusion range (poses far from the target stress different regions).
+    agg = {}
+    for di, (scene_fp, grasp_fp, T_target) in enumerate(tr._batches):
+        key, kq, kx, kt = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (args.n_poses, 4))
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        center = jnp.sum(jnp.where(scene_fp.mask[:, None], scene_fp.x, 0.0), 0) / jnp.maximum(
+            jnp.sum(scene_fp.mask), 1
+        )
+        x = center + jax.random.normal(kx, (args.n_poses, 3)) * 10.0  # cm-scaled units
+        Ts = jnp.concatenate([q, x], axis=-1)
+        t = jax.random.uniform(kt, (args.n_poses,), minval=0.001, maxval=1.0)
+        tape, degrees = collect(tr.model, tr.params, scene_fp, grasp_fp, Ts, t)
+        for s in summarize_degree_tape(tape, degrees):
+            a = agg.setdefault(
+                s["tag"], dict(tag=s["tag"], r=s["r"], k=s["k"], max_degree=0,
+                               frac_truncated=0.0, n_eval=0)
+            )
+            a["max_degree"] = max(a["max_degree"], s["max_degree"])
+            # running mean of the truncated fraction
+            a["frac_truncated"] = (
+                a["frac_truncated"] * a["n_eval"] + s["frac_truncated"] * s["n_dst"]
+            ) / max(a["n_eval"] + s["n_dst"], 1)
+            a["n_eval"] += s["n_dst"]
+
+    rows = sorted(agg.values(), key=lambda r: -r["frac_truncated"])
+    print(f"{'tag':32s} {'r':>7s} {'k':>4s} {'maxdeg':>6s} {'frac>k':>8s}")
+    for r in rows:
+        print(
+            f"{r['tag']:32s} {r['r']:7.2f} {r['k']:4d} {r['max_degree']:6d} "
+            f"{r['frac_truncated']:8.4f}"
+        )
+    worst = max((r["frac_truncated"] for r in rows), default=0.0)
+    print(f"worst frac_truncated = {worst:.4f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print("wrote", args.json_out)
+
+
+if __name__ == "__main__":
+    main()
