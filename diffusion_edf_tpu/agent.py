@@ -107,18 +107,43 @@ class _BundleRuntime:
             )
 
         self.rollout = jax.jit(_rollout, static_argnames=("record",))
-        self.energy = jax.jit(
-            lambda params, T, key_ms, query: model.apply(
+
+        def _energy(params, T, key_ms, query):
+            return model.apply(
                 params, T, key_ms, query, jnp.ones((T.shape[0],)), method=model.energy
             )
+
+        self.energy = jax.jit(_energy)
+
+        # ---- request-axis batched variants (serving: one device dispatch for
+        # a whole batch of concurrent requests; SURVEY §2.4(5)) ----
+        self.extract_key_b = jax.jit(
+            jax.vmap(
+                lambda params, scene: model.apply(params, scene, method=model.get_key_pcd_multiscale),
+                in_axes=(None, 0),
+            )
         )
+        self.extract_query_b = jax.jit(
+            jax.vmap(
+                lambda params, grasp: model.apply(params, grasp, method=model.get_query_pcd),
+                in_axes=(None, 0),
+            )
+        )
+        self.rollout_b = jax.jit(
+            lambda params, key_ms, query, keys, T0, sched, record: jax.vmap(
+                lambda km, q, k, t0: _rollout(params, km, q, k, t0, sched, record)
+            )(key_ms, query, keys, T0),
+            static_argnames=("record",),
+        )
+        self.energy_b = jax.jit(jax.vmap(_energy, in_axes=(None, 0, 0, 0)))
 
     def cache_sizes(self) -> Dict[str, int]:
         """Number of compiled executables per jitted entry point (for the
         no-retrace regression test)."""
         return {
             name: getattr(self, name)._cache_size()
-            for name in ("extract_key", "extract_query", "rollout", "energy")
+            for name in ("extract_key", "extract_query", "rollout", "energy",
+                         "extract_key_b", "extract_query_b", "rollout_b", "energy_b")
         }
 
 
@@ -222,6 +247,97 @@ class DiffusionEdfAgent:
             info["energy"] = np.asarray(energy)[order]
 
         return Ts_out, scene_p, grasp_p, info
+
+    # ------------------------------------------------------------------ #
+    def sample_batch(
+        self,
+        scene_pcds: Sequence[PointCloud],
+        grasp_pcds: Sequence[PointCloud],
+        Ts_init: np.ndarray,  # (R, nT, 7) raw (meter) units
+        N_steps_list: Sequence[Sequence[int]],
+        timesteps_list: Sequence[Sequence[float]],
+        temperatures_list: Sequence[Union[float, Sequence[float]]],
+        diffusion_schedules_list: Sequence[Sequence[Sequence[float]]],
+        log_t_schedule: bool = True,
+        time_exponent_temp: float = 1.0,
+        time_exponent_alpha: float = 0.5,
+        key: Optional[jax.Array] = None,
+        record_trajectory: bool = True,
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Cross-request batched sampling: R independent (scene, grasp, seeds)
+        triples share ONE device dispatch per cascade stage (extract + rollout
+        vmapped over the request axis; SURVEY §2.4(5) serving batching).
+
+        All requests share the diffusion config (the server's per-task config).
+        Returns (trajectory (R, nSteps+stages, nT, 7) in processed cm units,
+        info dict with per-request ``energy`` (R, nT) if a critic is set).
+        """
+        R = len(scene_pcds)
+        assert len(grasp_pcds) == R and np.asarray(Ts_init).shape[0] == R
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        preps = [self._prep(s, g) for s, g in zip(scene_pcds, grasp_pcds)]
+        pose_scale = 1.0 / self.unrescale if self.unrescale != 1.0 else 1.0
+        T0 = jnp.asarray(Ts_init, dtype=jnp.float32)
+        T0 = jnp.concatenate([T0[..., :4], T0[..., 4:] * pose_scale], axis=-1)
+
+        info: Dict[str, Any] = {}
+        trajs = []
+        for mi, bundle in enumerate(self.models):
+            rt = self._runtimes[mi]
+            scene_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[pad_pointcloud(s, bundle.n_scene_pad) for s, _ in preps],
+            )
+            grasp_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[pad_pointcloud(g, bundle.n_grasp_pad) for _, g in preps],
+            )
+            key_ms = rt.extract_key_b(bundle.params, scene_b)
+            query = rt.extract_query_b(bundle.params, grasp_b)
+            sched = build_schedule(
+                diffusion_schedules=diffusion_schedules_list[mi],
+                N_steps=N_steps_list[mi],
+                timesteps=timesteps_list[mi],
+                ang_mult=bundle.ang_mult,
+                lin_mult=bundle.lin_mult,
+                temperatures=temperatures_list[mi],
+                log_t_schedule=log_t_schedule,
+                time_exponent_temp=time_exponent_temp,
+                time_exponent_alpha=time_exponent_alpha,
+            )
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, R)
+            T_final, traj = rt.rollout_b(
+                bundle.params, key_ms, query, keys, T0, sched, record=record_trajectory
+            )
+            T0 = T_final
+            trajs.append(
+                np.asarray(traj) if record_trajectory else np.asarray(T_final)[:, None]
+            )
+
+        Ts_out = np.concatenate(trajs, axis=1)  # (R, total_steps, nT, 7)
+
+        if self.critic is not None:
+            c = self.critic
+            rt = self._critic_runtime
+            scene_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[pad_pointcloud(s, c.n_scene_pad) for s, _ in preps],
+            )
+            grasp_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[pad_pointcloud(g, c.n_grasp_pad) for _, g in preps],
+            )
+            key_ms = rt.extract_key_b(c.params, scene_b)
+            query = rt.extract_query_b(c.params, grasp_b)
+            Tl = jnp.asarray(Ts_out[:, -1])
+            energy = np.asarray(rt.energy_b(c.params, Tl, key_ms, query))  # (R, nT)
+            order = np.argsort(energy, axis=-1)
+            Ts_out = np.take_along_axis(Ts_out, order[:, None, :, None], axis=2)
+            info["energy"] = np.take_along_axis(energy, order, axis=-1)
+
+        return Ts_out, info
 
     # ------------------------------------------------------------------ #
     def warmup(

@@ -11,7 +11,7 @@ import os
 import yaml
 
 
-def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 2048, n_grasp_pad: int = 512):
+def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 2048, n_grasp_pad: int = 512, batching=None):
     from ..agent import DiffusionEdfAgent, load_model_bundle
     from .server import AgentService
 
@@ -56,7 +56,9 @@ def build_service(family_dir: str, with_critic: bool = True, n_scene_pad: int = 
 
     pick_agent = build_agent("pick_models_kwargs", "pick_critic_kwargs")
     place_agent = build_agent("place_models_kwargs", "place_critic_kwargs")
-    return AgentService(pick_agent, place_agent, server_cfg)
+    # server.yaml may declare batching; an explicit arg wins
+    batching = batching if batching is not None else server_cfg.get("batching")
+    return AgentService(pick_agent, place_agent, server_cfg, batching=batching)
 
 
 def main(argv=None):
@@ -68,6 +70,9 @@ def main(argv=None):
     p.add_argument("--no-critic", action="store_true")
     p.add_argument("--n-scene-pad", type=int, default=2048)
     p.add_argument("--n-grasp-pad", type=int, default=512)
+    p.add_argument("--batch", type=int, default=0,
+                   help="aggregate up to N concurrent /denoise requests into one device dispatch")
+    p.add_argument("--batch-window-ms", type=float, default=20.0)
     args = p.parse_args(argv)
 
     from ..utils.profiling import setup_compilation_cache
@@ -77,6 +82,7 @@ def main(argv=None):
     service = build_service(
         args.family_dir, with_critic=not args.no_critic,
         n_scene_pad=args.n_scene_pad, n_grasp_pad=args.n_grasp_pad,
+        batching=(dict(max_batch=args.batch, window_ms=args.batch_window_ms) if args.batch > 1 else None),
     )
     print(f"serving on {args.host}:{args.port}")
     run_server(service, host=args.host, port=args.port, block=True)

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -31,20 +32,50 @@ from .trajectories import compute_pre_pick_trajectory, compute_pre_place_traject
 __all__ = ["AgentService", "run_server"]
 
 
+class _PendingRequest:
+    """One enqueued /denoise awaiting the batching dispatcher."""
+
+    __slots__ = ("task", "scene", "grasp", "Ts_init", "event", "result", "error")
+
+    def __init__(self, task, scene, grasp, Ts_init):
+        self.task = task
+        self.scene = scene
+        self.grasp = grasp
+        self.Ts_init = Ts_init
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[BaseException] = None
+
+
 class AgentService:
     """Task-routed agent pair + runtime-mutable configs
-    (``AgentService.reconfigure``, ``agent_server.py:102-117``)."""
+    (``AgentService.reconfigure``, ``agent_server.py:102-117``).
+
+    With ``batching`` set (``{"max_batch": 4, "window_ms": 20}``), concurrent
+    ``/denoise`` requests are aggregated by a dispatcher thread into ONE
+    request-axis-batched device dispatch (``DiffusionEdfAgent.sample_batch``;
+    SURVEY §2.4(5)).  Batch sizes are padded up to a power of two so the jit
+    cache holds at most log2(max_batch)+1 executables per stage.
+    """
 
     def __init__(
         self,
         pick_agent: Optional[DiffusionEdfAgent],
         place_agent: Optional[DiffusionEdfAgent],
         configs: Dict[str, Any],
+        batching: Optional[Dict[str, Any]] = None,
     ):
         self.agents = {"pick": pick_agent, "place": place_agent}
         self.configs = configs
         # RLock: reconfigure() calls get_configs() while holding the lock
         self._lock = threading.RLock()
+        self.batching = dict(batching) if batching else None
+        self.batch_stats = {"dispatches": 0, "requests": 0, "batched_requests": 0}
+        if self.batching:
+            self._queue: List[_PendingRequest] = []
+            self._qcv = threading.Condition()
+            self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+            self._dispatcher.start()
 
     def get_configs(self) -> Dict[str, Any]:
         with self._lock:
@@ -63,14 +94,88 @@ class AgentService:
         scene = PointCloud(points=np.asarray(req["scene"]["points"]), colors=np.asarray(req["scene"]["colors"]))
         grasp = PointCloud(points=np.asarray(req["grasp"]["points"]), colors=np.asarray(req["grasp"]["colors"]))
         Ts_init = np.asarray(req["Ts_init"], dtype=np.float32)
-        with self._lock:
-            diff_cfg = dict(self.configs[f"{task}_diffusion_configs"])
-        traj, _, _, info = agent.sample(scene, grasp, Ts_init, **diff_cfg)
+        self.batch_stats["requests"] += 1
+        if self.batching:
+            pending = _PendingRequest(task, scene, grasp, Ts_init)
+            with self._qcv:
+                self._queue.append(pending)
+                self._qcv.notify()
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+            return pending.result
+        traj, _, _, info = agent.sample(scene, grasp, Ts_init, **self._diff_cfg(task))
         traj_m = agent.unprocess_poses(traj)  # back to meters
         out = {"trajectories": traj_m.tolist()}
         if "energy" in info:
             out["energy"] = np.asarray(info["energy"]).tolist()
         return out
+
+    def _diff_cfg(self, task: str) -> Dict[str, Any]:
+        with self._lock:
+            return dict(self.configs[f"{task}_diffusion_configs"])
+
+    # ---- batching dispatcher ----------------------------------------- #
+    def _dispatch_loop(self):
+        max_batch = int(self.batching.get("max_batch", 4))
+        window_s = float(self.batching.get("window_ms", 20)) / 1e3
+        while True:
+            with self._qcv:
+                while not self._queue:
+                    self._qcv.wait()
+                first = self._queue.pop(0)
+            # collect more same-task requests within the window
+            batch = [first]
+            deadline = time.monotonic() + window_s
+            while len(batch) < max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                with self._qcv:
+                    if not self._queue:
+                        self._qcv.wait(timeout=remaining)
+                    take = [p for p in self._queue if p.task == first.task]
+                    for p in take[: max_batch - len(batch)]:
+                        self._queue.remove(p)
+                        batch.append(p)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List["_PendingRequest"]):
+        task = batch[0].task
+        agent = self.agents[task]
+        try:
+            cfg = self._diff_cfg(task)
+            # pad seed counts to the batch max, batch size to a power of two
+            nT = max(p.Ts_init.shape[0] for p in batch)
+            R = 1 << (len(batch) - 1).bit_length()
+            Ts = np.stack(
+                [
+                    np.concatenate(
+                        [p.Ts_init, np.repeat(p.Ts_init[-1:], nT - p.Ts_init.shape[0], 0)]
+                    )
+                    for p in batch
+                ]
+                + [np.broadcast_to(batch[0].Ts_init[-1], (nT, 7))] * (R - len(batch))
+            )
+            scenes = [p.scene for p in batch] + [batch[0].scene] * (R - len(batch))
+            grasps = [p.grasp for p in batch] + [batch[0].grasp] * (R - len(batch))
+            traj_b, info = agent.sample_batch(scenes, grasps, Ts, **cfg)
+            traj_m = agent.unprocess_poses(traj_b)  # (R, steps, nT, 7) meters
+            self.batch_stats["dispatches"] += 1
+            self.batch_stats["batched_requests"] += len(batch)
+            for i, p in enumerate(batch):
+                n_i = p.Ts_init.shape[0]
+                out = {"trajectories": traj_m[i][:, :n_i].tolist()}
+                if "energy" in info:
+                    # energy-sorted: seeds were reordered per request; keep the
+                    # n_i best (padding seeds rank wherever they fall)
+                    out["energy"] = np.asarray(info["energy"])[i][:n_i].tolist()
+                p.result = out
+                p.event.set()
+        except BaseException as e:  # noqa: BLE001
+            for p in batch:
+                p.error = e
+                p.event.set()
 
     def request_trajectories(self, req: Dict[str, Any]) -> Dict[str, Any]:
         task = req["task_type"]

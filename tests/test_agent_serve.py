@@ -159,3 +159,94 @@ def test_evaluate_agent(agent):
     )
     assert report["n_demos"] == 1 and report["n_samples"] == 2
     assert np.isfinite(report["trans_err_cm"]["mean"])
+
+
+def test_sample_batch_matches_single(agent):
+    """Request-axis batched sampling: identical rows with identical keys must
+    reproduce the single-request rollout bitwise (vmap correctness)."""
+    demo = make_synthetic_demo(2, n_scene=500, n_grasp=130)[0]
+    Ts_init = np.asarray([[1.0, 0, 0, 0, 0.0, 0.3, 0.1], [1.0, 0, 0, 0, 0.05, 0.35, 0.1]])
+    rt = agent._runtimes[0]
+    bundle = agent.models[0]
+    from diffusion_edf_tpu.agent import pad_pointcloud as _pp
+    from diffusion_edf_tpu.diffusion.langevin import build_schedule
+
+    scene_p, grasp_p = agent._prep(demo.scene_pcd, demo.grasp_pcd)
+    scene_fp = _pp(scene_p, bundle.n_scene_pad)
+    grasp_fp = _pp(grasp_p, bundle.n_grasp_pad)
+    key_ms = rt.extract_key(bundle.params, scene_fp)
+    query = rt.extract_query(bundle.params, grasp_fp)
+    sched = build_schedule(
+        diffusion_schedules=DIFF_CFG["diffusion_schedules_list"][0],
+        N_steps=DIFF_CFG["N_steps_list"][0],
+        timesteps=DIFF_CFG["timesteps_list"][0],
+        ang_mult=bundle.ang_mult, lin_mult=bundle.lin_mult,
+        temperatures=DIFF_CFG["temperatures_list"][0],
+    )
+    k = jax.random.PRNGKey(7)
+    T0 = np.asarray(Ts_init, np.float32)
+    T0 = np.concatenate([T0[:, :4], T0[:, 4:] * 100.0], -1)
+    Tf_single, traj_single = rt.rollout(bundle.params, key_ms, query, k, T0, sched, record=True)
+
+    import jax.numpy as jnp
+
+    stack = lambda tree: jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), tree)
+    Tf_b, traj_b = rt.rollout_b(
+        bundle.params, stack(key_ms), stack(query), jnp.stack([k, k]),
+        jnp.stack([jnp.asarray(T0)] * 2), sched, record=True,
+    )
+    np.testing.assert_allclose(np.asarray(Tf_b[0]), np.asarray(Tf_single), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Tf_b[1]), np.asarray(Tf_single), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj_b[0]), np.asarray(traj_single), atol=1e-5)
+
+
+def test_batched_serving_one_dispatch(agent):
+    """VERDICT r1 item 9: 4 concurrent /denoise requests share one batched
+    device dispatch."""
+    import threading
+
+    demo = make_synthetic_demo(3, n_scene=400, n_grasp=120)[0]
+    service = AgentService(
+        pick_agent=agent, place_agent=None,
+        configs={"pick_diffusion_configs": DIFF_CFG},
+        batching={"max_batch": 4, "window_ms": 200},
+    )
+    httpd = run_server(service, host="127.0.0.1", port=18331, block=False)
+    try:
+        req = {
+            "task_type": "pick",
+            "scene": {"points": demo.scene_pcd.points.tolist(), "colors": demo.scene_pcd.colors.tolist()},
+            "grasp": {"points": demo.grasp_pcd.points.tolist(), "colors": demo.grasp_pcd.colors.tolist()},
+            "Ts_init": [[1.0, 0, 0, 0, 0.0, 0.3, 0.1]],
+        }
+        data = json.dumps(req).encode()
+        results, errors = [None] * 4, [None] * 4
+
+        def post(i):
+            try:
+                r = urllib.request.urlopen(
+                    urllib.request.Request(
+                        "http://127.0.0.1:18331/denoise", data=data,
+                        headers={"Content-Type": "application/json"},
+                    ),
+                    timeout=600,
+                )
+                results[i] = json.loads(r.read())
+            except Exception as e:  # noqa: BLE001
+                errors[i] = e
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == [None] * 4, errors
+        for out in results:
+            traj = np.asarray(out["trajectories"])
+            assert traj.shape[1:] == (1, 7)
+            np.testing.assert_allclose(np.linalg.norm(traj[-1, 0, :4]), 1.0, atol=1e-4)
+        # all four went through one batched dispatch
+        assert service.batch_stats["dispatches"] == 1
+        assert service.batch_stats["batched_requests"] == 4
+    finally:
+        httpd.shutdown()
