@@ -43,6 +43,25 @@ QUAT_L_INDICES = ((1, 2, 3), (0, 3, 2), (3, 0, 1), (2, 1, 0))
 QUAT_L_FACTOR = ((-0.5, -0.5, -0.5), (0.5, -0.5, 0.5), (0.5, 0.5, -0.5), (-0.5, 0.5, 0.5))
 
 
+def _shard_query_axis(
+    fp: FeaturedPoints, axes: Optional[Tuple[str, ...]]
+) -> FeaturedPoints:
+    """GSPMD constraint: shard the flattened query axis over the given mesh
+    axes (no-op when unset).  XLA propagates the row sharding through the
+    tensor-field gathers, the masked-K attention and the dense ``null``-scale
+    rows, so each model shard computes a block of queries against the
+    replicated scene (blockwise dense attention)."""
+    if not axes:
+        return fp
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec(tuple(axes))
+    wsc = jax.lax.with_sharding_constraint
+    return fp.replace(
+        x=wsc(fp.x, spec), f=wsc(fp.f, spec), mask=wsc(fp.mask, spec)
+    )
+
+
 def quat_L(q: jnp.ndarray) -> jnp.ndarray:
     """(..., 4) -> (..., 4, 3) with dq = L @ ang_disp."""
     idx = jnp.asarray(QUAT_L_INDICES)
@@ -72,6 +91,12 @@ class ScoreModelHead(nn.Module):
     time_enc_n: float = 10000.0
     edge_time_encoding: bool = True
     query_time_encoding: bool = False
+    # model-axis sharding (SURVEY §2.4(2)/§5.7): shard the flattened nT*nQ
+    # query axis over these mesh axes, e.g. ("data", "model").  The scene
+    # cloud stays replicated; per-query gathers, masked attention and the
+    # dense null-scale rows partition with zero collectives until the final
+    # per-pose reduction (XLA inserts the psum).  Requires an active Mesh.
+    query_shard_axes: Optional[Tuple[str, ...]] = None
 
     @property
     def n_scales(self) -> int:
@@ -123,6 +148,7 @@ class ScoreModelHead(nn.Module):
             f=dst_f.reshape(nT * nQ, -1),
             mask=jnp.broadcast_to(query_pcd.mask[None, :], (nT, nQ)).reshape(-1),
         )
+        query_flat = _shard_query_axis(query_flat, self.query_shard_axes)
 
         if self.edge_time_encoding:
             # all per-scale time MLPs batched into one (vmapped params)
@@ -195,6 +221,7 @@ class EbmScoreModelHead(nn.Module):
     time_enc_n: float = 10000.0
     edge_time_encoding: bool = False
     query_time_encoding: bool = True
+    query_shard_axes: Optional[Tuple[str, ...]] = None  # see ScoreModelHead
 
     @property
     def n_scales(self) -> int:
@@ -244,6 +271,7 @@ class EbmScoreModelHead(nn.Module):
             f=dst_f.reshape(nT * nQ, -1),
             mask=jnp.broadcast_to(query_pcd.mask[None, :], (nT, nQ)).reshape(-1),
         )
+        query_flat = _shard_query_axis(query_flat, self.query_shard_axes)
         if self.edge_time_encoding:
             ScaleTimeMLPs = nn.vmap(
                 _TimeMLP,

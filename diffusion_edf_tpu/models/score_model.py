@@ -40,6 +40,7 @@ def _build_head(score_head_kwargs: Dict, irreps_input: Irreps, irreps_query: Irr
     tf["irreps_input"] = irreps_input
     tf["use_src_point_attn"] = use_src_point_attn
     use_ebm = bool(kw.pop("ebm", False))
+    qsa = kw.pop("query_shard_axes", None)
     cls = EbmScoreModelHead if use_ebm else ScoreModelHead
     head = cls(
         max_time=float(kw.pop("max_time")),
@@ -50,6 +51,7 @@ def _build_head(score_head_kwargs: Dict, irreps_input: Irreps, irreps_query: Irr
         ang_mult=float(kw.pop("ang_mult")),
         edge_time_encoding=bool(kw.pop("edge_time_encoding")),
         query_time_encoding=bool(kw.pop("query_time_encoding")),
+        query_shard_axes=tuple(qsa) if qsa else None,
         name="score_head",
     )
     assert not kw, f"Unconsumed score_head_kwargs: {kw}"
