@@ -79,6 +79,12 @@ class GraphAttention(nn.Module):
     irreps_mid: Optional[Irreps] = None  # default: irreps_input
     alpha_drop: float = 0.1
     proj_drop: float = 0.0
+    # fused attention core (SURVEY §7.2(3)): None -> module pipeline;
+    # 'xla' -> single shared core_math function; 'pallas' -> VMEM-tiled
+    # Pallas kernel; 'pallas_interpret' -> interpreter (tests).  Global
+    # default via env DIFFUSION_EDF_TPU_FUSED.  Inference-only (dropout
+    # falls back to the module pipeline when not deterministic).
+    fused_core: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -117,6 +123,19 @@ class GraphAttention(nn.Module):
         w = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad")(
             edge_scalars
         )
+
+        import os
+
+        fused = self.fused_core or os.environ.get("DIFFUSION_EDF_TPU_FUSED") or None
+        drop_active = self.alpha_drop > 0.0 and not deterministic
+        if fused in ("xla", "pallas", "pallas_interpret") and not drop_active:
+            return self._fused_path(
+                fused, dtp1, w, message, edge_attr, edge_mask,
+                edge_pre_attn_logit, edge_post_attn,
+                irreps_mid, irreps_edge, irreps_out, irreps_head, irreps_attn,
+                H, mul_alpha, mul_alpha_head, deterministic,
+            )
+
         mid = dtp1(message, edge_attr, w)  # (Nd, K, F_dtp)
 
         # --- alpha + value linears merged into ONE matmul on the DTP output
@@ -177,6 +196,64 @@ class GraphAttention(nn.Module):
         # --- weighted sum over K, heads->vec, output projection ---
         attn = jnp.einsum("...kh,...khf->...hf", alpha, val)  # (Nd, H, head_dim)
         attn = heads2vec(irreps_head, attn)  # (Nd, attn_dim)
+        out = IrrepsLinear(irreps_attn, irreps_out, name="proj")(attn)
+        if self.proj_drop > 0.0:
+            from .layers import EquivariantDropout
+
+            out = EquivariantDropout(irreps=irreps_out, rate=self.proj_drop)(
+                out, deterministic=deterministic
+            )
+        return out
+
+    def _fused_path(
+        self, mode, dtp1, w, message, edge_attr, edge_mask,
+        edge_pre_attn_logit, edge_post_attn,
+        irreps_mid, irreps_edge, irreps_out, irreps_head, irreps_attn,
+        H, mul_alpha, mul_alpha_head, deterministic,
+    ):
+        """Fused core dispatch (called from the compact ``__call__``): the
+        SAME submodules/params as the module pipeline, weights materialized as
+        dense matrices and consumed by :mod:`nn.fused_attention`."""
+        from .fused_attention import _dtp_weight_expander, build_core_meta, fused_attention
+        from .tp import dtp_instructions
+
+        dt = message.dtype
+        s, g, t = irreps2gate(irreps_mid)
+        val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
+        W_av, b_av = IrrepsLinear(
+            dtp1.irreps_out, Irreps(f"{mul_alpha}x0e") + val_out_irreps,
+            name="sep_alpha_value",
+        )(None, materialize=True)
+        alpha_dot = self.param(
+            "alpha_dot", nn.initializers.xavier_uniform(), (H, mul_alpha_head), dt
+        )
+        Dmat = jnp.zeros((mul_alpha, H), dt)
+        for h in range(H):
+            Dmat = Dmat.at[h * mul_alpha_head : (h + 1) * mul_alpha_head, h].set(alpha_dot[h])
+        w2, W_lin2, b_lin2 = SeparableFCTP(
+            irreps_in=irreps_mid,
+            irreps_edge=irreps_edge,
+            irreps_out=irreps_attn,
+            fc_neurons=None,
+            use_activation=False,
+            internal_weights=True,
+            name="sep_value",
+        )(None, materialize=True)
+        prog2 = dtp_instructions(irreps_mid, irreps_edge, irreps_attn)
+        meta, consts = build_core_meta(
+            dtp1.program, prog2, irreps_mid, irreps_head, H, mul_alpha,
+            use_pre=edge_pre_attn_logit is not None,
+            use_post=edge_post_attn is not None,
+        )
+        wexp2 = w2[None, :] @ jnp.asarray(_dtp_weight_expander(prog2), dt)
+        weights = dict(W_av=W_av, b_av=b_av, Dmat=Dmat, wexp2=wexp2,
+                       W_lin2=W_lin2, b_lin2=b_lin2)
+        attn = fused_attention(
+            meta, consts, message, edge_attr, w, edge_mask,
+            edge_pre_attn_logit, edge_post_attn, weights,
+            mode="pallas" if mode in ("pallas", "pallas_interpret") else "xla",
+            interpret=(mode == "pallas_interpret"),
+        )
         out = IrrepsLinear(irreps_attn, irreps_out, name="proj")(attn)
         if self.proj_drop > 0.0:
             from .layers import EquivariantDropout

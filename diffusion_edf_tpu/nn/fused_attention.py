@@ -1,0 +1,357 @@
+"""Fused edge-attention core: [DTP1 -> alpha/value linear -> GATv2 logits ->
+gate -> DTP2 -> value linear -> masked softmax -> weighted reduce] in one pass.
+
+This is the Pallas-kernel center of gravity named by SURVEY §7.2(3)
+(reference hot loop ``graph_attention.py:218-273``).  The un-fused XLA path
+materializes ~5 (Nd, K, ~F)-sized intermediates in HBM per attention block
+(matmul outputs never fuse across ops), so the segment is HBM-bandwidth
+bound; tiling over destination rows keeps every intermediate in VMEM and cuts
+the traffic to one read of the inputs + one write of the (Nd, F) output.
+
+Design notes:
+* ALL math lives in :func:`core_math`, shared verbatim between the XLA
+  reference path and the Pallas kernel body -> the two modes are numerically
+  identical by construction.
+* Head split/merge (``vec2heads``/``heads2vec``) is eliminated algebraically:
+  the layouts are mutually inverse, so the per-head weighted sum equals a
+  column-wise multiply with head-expanded alphas (constant 0/1 matrix
+  ``M_head``), keeping every tensor <= 3D (Mosaic-friendly).
+* The GATv2 per-head dot likewise becomes one matmul with a block-diagonal
+  ``Dmat`` built from ``alpha_dot``.
+* DTP contractions use the SH fast-path metas of ``nn/tp.py`` reformulated as
+  2D matmuls + a static loop over the (<=5) components of each input irrep.
+
+Everything is deterministic (no dropout) — the fused core is the inference
+path; training falls back to the module pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.irreps import Irrep, Irreps
+from .tp import TPProgram, _sh_fastpath_meta
+from .util import silu_norm, sigmoid_norm, smooth_leaky_relu, smooth_leaky_relu_norm
+
+__all__ = ["AttentionCoreMeta", "build_core_meta", "core_math", "fused_attention"]
+
+
+class AttentionCoreMeta(NamedTuple):
+    """Static (hashable at the python level) description of the fused core."""
+
+    prog1: TPProgram  # message (x) sh -> mid, per-edge radial weights
+    prog2: TPProgram  # gated value (x) sh -> attn irreps, shared weights
+    H: int
+    mul_alpha: int
+    sd: int  # gate: scalar dim of irreps_mid
+    gd: int  # gate: number of gate scalars
+    td: int  # gate: gated (nonscalar) dim
+    attn_dim: int
+    head_cols: Tuple[Tuple[int, int, int], ...]  # (col_start, block, stride=mul*d) per entry
+    use_pre: bool
+    use_post: bool
+
+
+def _gate_structure(irreps_mid: Irreps):
+    from .layers import irreps2gate
+
+    s, g, t = irreps2gate(Irreps(irreps_mid))
+    R = np.zeros((g.num_irreps, t.dim))
+    gi = ci = 0
+    for mul, ir in t:
+        for _ in range(mul):
+            R[gi, ci : ci + ir.dim] = 1.0
+            gi += 1
+            ci += ir.dim
+    return s.dim, g.num_irreps, t.dim, R
+
+
+def build_core_meta(
+    prog1: TPProgram,
+    prog2: TPProgram,
+    irreps_mid: Irreps,
+    irreps_head: Irreps,
+    H: int,
+    mul_alpha: int,
+    use_pre: bool,
+    use_post: bool,
+) -> Tuple[AttentionCoreMeta, Dict[str, np.ndarray]]:
+    """Static meta + constant numpy matrices (baked into the kernel)."""
+    sd, gd, td, R = _gate_structure(irreps_mid)
+    # head membership: attn layout per entry e of irreps_head*H (sorted even
+    # first, but prog2.irreps_out/IrrepsLinear target == attn irreps layout):
+    # each entry block is (mul*H*d) laid out with head as the slow index over
+    # (mul*d) sub-blocks (see vec2heads).
+    head_cols = []
+    attn_dim = 0
+    for mul, ir in Irreps(irreps_head):
+        head_cols.append((attn_dim, mul * ir.dim, H * mul * ir.dim))
+        attn_dim += H * mul * ir.dim
+    # M_head: (H, attn_dim) 0/1 — column c belongs to head (c - start)//block
+    M_head = np.zeros((H, attn_dim))
+    for start, block, total in head_cols:
+        for h in range(H):
+            M_head[h, start + h * block : start + (h + 1) * block] = 1.0
+    consts = {"R_gate": R, "M_head": M_head}
+    meta = AttentionCoreMeta(
+        prog1=prog1,
+        prog2=prog2,
+        H=H,
+        mul_alpha=mul_alpha,
+        sd=sd,
+        gd=gd,
+        td=td,
+        attn_dim=attn_dim,
+        head_cols=tuple(head_cols),
+        use_pre=use_pre,
+        use_post=use_post,
+    )
+    return meta, consts
+
+
+def _dtp_weight_expander(prog: TPProgram) -> np.ndarray:
+    """0/1 matrix E (weight_numel, sum_e mul1*Q_e) expanding per-path weights
+    over output components, in the per-entry (mul1, Q) flat order used by
+    :func:`_dtp_sh_2d`."""
+    metas = _sh_fastpath_meta(prog)
+    cols = sum(m["mul1"] * m["q_total"] for m in metas)
+    E = np.zeros((prog.weight_numel, cols))
+    off = 0
+    for m in metas:
+        mul1, Q = m["mul1"], m["q_total"]
+        # w_cols entries are parallel to out_map, i.e. ordered along Q
+        q_off = 0
+        for (ws, d3) in m["w_cols"]:
+            for u in range(mul1):
+                E[ws + u, off + u * Q + q_off : off + u * Q + q_off + d3] = 1.0
+            q_off += d3
+        off += mul1 * Q
+    return E
+
+
+def _dtp_consts(prog: TPProgram, dtype=np.float32):
+    """Per-entry constant contraction matrices Cf (dim2, d1*Q)."""
+    metas = _sh_fastpath_meta(prog)
+    dim2 = prog.irreps_in2.dim
+    return [
+        np.asarray(m["C"].transpose(1, 0, 2).reshape(dim2, m["d1"] * m["q_total"]), dtype)
+        for m in metas
+    ]
+
+
+def _dtp_sh_2d(
+    prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, wexp: jnp.ndarray,
+    Cfs: Sequence[jnp.ndarray],
+) -> jnp.ndarray:
+    """SH depthwise TP on flat (N, dim1) x (N, dim2) with pre-expanded weights
+    ``wexp`` (N or 1, sum_e mul1*Q_e); only 2D matmuls + static loops.
+    ``Cfs``: per-entry constant matrices from :func:`_dtp_consts` (passed as
+    kernel inputs — Pallas kernels may not capture array constants)."""
+    metas = _sh_fastpath_meta(prog)
+    N = x1.shape[0]
+    slices1 = prog.irreps_in1.slices()
+    out_blocks = [None] * len(prog.irreps_out)
+    woff = 0
+    for m, Cf in zip(metas, Cfs):
+        mul1, d1, Q = m["mul1"], m["d1"], m["q_total"]
+        Cw = (x2 @ Cf.astype(x1.dtype)).reshape(N, d1, Q)
+        x1e = x1[:, slices1[m["e1"]]].reshape(N, m["mul1"], d1)
+        out_e = jnp.zeros((N, mul1, Q), x1.dtype)
+        for d in range(d1):
+            out_e = out_e + x1e[:, :, d][:, :, None] * Cw[:, d, :][:, None, :]
+        we = wexp[:, woff : woff + mul1 * Q].reshape(-1, mul1, Q)
+        out_e = out_e * we
+        woff += mul1 * Q
+        for i_out, q_off, d3 in m["out_map"]:
+            blk = out_e[:, :, q_off : q_off + d3].reshape(N, mul1 * d3)
+            out_blocks[i_out] = blk if out_blocks[i_out] is None else out_blocks[i_out] + blk
+    outs = []
+    for i, (mul, ir) in enumerate(prog.irreps_out):
+        if out_blocks[i] is None:
+            outs.append(jnp.zeros((N, mul * ir.dim), x1.dtype))
+        else:
+            outs.append(out_blocks[i])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def core_math(
+    meta: AttentionCoreMeta,
+    message: jnp.ndarray,  # (B, K, F_in)
+    edge_attr: jnp.ndarray,  # (B, K, dim_sh)
+    w_rad: jnp.ndarray,  # (B, K, weight_numel1)
+    mask: jnp.ndarray,  # (B, K) bool
+    pre_logit: jnp.ndarray,  # (B, K)
+    post_attn: jnp.ndarray,  # (B, K)
+    W_av: jnp.ndarray,  # (F_dtp1, mul_alpha + val_dim) dense alpha/value linear
+    b_av: jnp.ndarray,  # (mul_alpha + val_dim,)
+    Dmat: jnp.ndarray,  # (mul_alpha, H) block-diagonal GATv2 dot
+    wexp2: jnp.ndarray,  # (1, sum mul1*Q) expanded shared dtp2 weights
+    W_lin2: jnp.ndarray,  # (F_dtp2, attn_dim) dense value linear
+    b_lin2: jnp.ndarray,  # (attn_dim,)
+    E1: jnp.ndarray,  # (weight_numel1, sum mul1*Q) const weight expander
+    R_gate: jnp.ndarray,  # (gd, td) const gate expander
+    M_head: jnp.ndarray,  # (H, attn_dim) const head membership
+    Cfs1: Sequence[jnp.ndarray],  # per-entry DTP1 contraction constants
+    Cfs2: Sequence[jnp.ndarray],  # per-entry DTP2 contraction constants
+) -> jnp.ndarray:
+    """The full fused segment; returns (B, attn_dim) pre-projection output."""
+    B, K = message.shape[0], message.shape[1]
+    N = B * K
+    dt = message.dtype
+    msg_f = message.reshape(N, -1)
+    attr_f = edge_attr.reshape(N, -1)
+
+    # ---- DTP1 (per-edge radial weights) ----
+    wexp1 = w_rad.reshape(N, -1) @ E1
+    mid = _dtp_sh_2d(meta.prog1, msg_f, attr_f, wexp1, Cfs1)  # (N, F_dtp1)
+
+    # ---- merged alpha/value linear ----
+    combined = mid @ W_av + b_av
+    la = combined[:, : meta.mul_alpha]
+    val_pre = combined[:, meta.mul_alpha :]
+
+    # ---- GATv2 logits ----
+    la = smooth_leaky_relu(la) * jnp.asarray(smooth_leaky_relu_norm(), dt)
+    logits = (la @ Dmat).reshape(B, K, meta.H)
+
+    # ---- gate ----
+    if meta.gd == 0:
+        val = jax.nn.silu(val_pre) * jnp.asarray(silu_norm(), dt)
+    else:
+        scalars = jax.nn.silu(val_pre[:, : meta.sd]) * jnp.asarray(silu_norm(), dt)
+        gates = jax.nn.sigmoid(val_pre[:, meta.sd : meta.sd + meta.gd]) * jnp.asarray(
+            sigmoid_norm(), dt
+        )
+        gated = val_pre[:, meta.sd + meta.gd :] * (gates @ R_gate)
+        val = jnp.concatenate([scalars, gated], axis=-1)
+
+    # ---- DTP2 (shared weights) + value linear ----
+    val = _dtp_sh_2d(meta.prog2, val, attr_f, wexp2, Cfs2)
+    val = val @ W_lin2 + b_lin2  # (N, attn_dim)
+
+    # ---- masked softmax over K (+ head-expanded weighted reduce) ----
+    if meta.use_pre:
+        logits = logits + pre_logit[..., None]
+    neg_big = jnp.asarray(-1e30, dt)
+    logits = jnp.where(mask[..., None], logits, neg_big)
+    m = jnp.max(logits, axis=-2, keepdims=True)
+    m = jnp.maximum(jax.lax.stop_gradient(m), jnp.asarray(-0.5e30, dt))
+    ea = jnp.where(mask[..., None], jnp.exp(logits - m), jnp.asarray(0.0, dt))
+    denom = jnp.sum(ea, axis=-2, keepdims=True)
+    alpha = ea / jnp.maximum(denom, jnp.asarray(1e-30, dt))  # (B, K, H)
+    if meta.use_post:
+        alpha = alpha * post_attn[..., None]
+    alphaE = alpha.reshape(N, meta.H) @ M_head  # (N, attn_dim)
+    out = (alphaE * val).reshape(B, K, meta.attn_dim).sum(axis=1)
+    return out
+
+
+def _all_consts(meta, consts_np, dtype):
+    Cfs1 = _dtp_consts(meta.prog1)
+    Cfs2 = _dtp_consts(meta.prog2)
+    E1 = np.asarray(consts_np["E1"], np.float32)
+    R_gate = np.asarray(consts_np["R_gate"], np.float32)
+    M_head = np.asarray(consts_np["M_head"], np.float32)
+    return [jnp.asarray(c, dtype) for c in [E1, R_gate, M_head] + Cfs1 + Cfs2], len(Cfs1)
+
+
+def _xla_core(meta, consts_np, message, edge_attr, w_rad, mask, pre_logit, post_attn, weights):
+    """Reference path: core_math on the full arrays (XLA fuses what it can)."""
+    consts, n1 = _all_consts(meta, consts_np, message.dtype)
+    E1, R_gate, M_head = consts[:3]
+    Cfs1, Cfs2 = consts[3 : 3 + n1], consts[3 + n1 :]
+    return core_math(
+        meta, message, edge_attr, w_rad, mask, pre_logit, post_attn,
+        weights["W_av"], weights["b_av"], weights["Dmat"], weights["wexp2"],
+        weights["W_lin2"], weights["b_lin2"], E1, R_gate, M_head, Cfs1, Cfs2,
+    )
+
+
+def _pallas_core(
+    meta, consts_np, message, edge_attr, w_rad, mask, pre_logit, post_attn, weights,
+    block_rows: int = 8, interpret: bool = False,
+):
+    """Pallas path: grid over destination-row blocks, full K per block; all
+    intermediates live in VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Nd, K, Fin = message.shape
+    B = min(block_rows, Nd)
+    grid = (pl.cdiv(Nd, B),)
+    dt = message.dtype
+    consts, n1 = _all_consts(meta, consts_np, dt)
+    w = weights
+    warrs = [w["W_av"], w["b_av"], w["Dmat"], w["wexp2"], w["W_lin2"], w["b_lin2"]]
+
+    def kernel(msg_ref, attr_ref, w_ref, mask_ref, pre_ref, post_ref, *refs):
+        out_ref = refs[-1]
+        wrefs = refs[: len(warrs)]
+        crefs = refs[len(warrs) : -1]
+        cvals = [r[:] for r in crefs]
+        E1, R_gate, M_head = cvals[:3]
+        Cfs1, Cfs2 = cvals[3 : 3 + n1], cvals[3 + n1 :]
+        out_ref[:] = core_math(
+            meta,
+            msg_ref[:], attr_ref[:], w_ref[:], mask_ref[:], pre_ref[:], post_ref[:],
+            wrefs[0][:], wrefs[1][:], wrefs[2][:], wrefs[3][:], wrefs[4][:], wrefs[5][:],
+            E1, R_gate, M_head, Cfs1, Cfs2,
+        )
+
+    def row_spec(feat_shape):
+        return pl.BlockSpec((B,) + feat_shape, lambda i: (i,) + (0,) * len(feat_shape),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Nd, meta.attn_dim), dt),
+        grid=grid,
+        in_specs=[
+            row_spec((K, Fin)),
+            row_spec((K, edge_attr.shape[-1])),
+            row_spec((K, w_rad.shape[-1])),
+            row_spec((K,)),
+            row_spec((K,)),
+            row_spec((K,)),
+        ]
+        + [full_spec(a) for a in warrs]
+        + [full_spec(c) for c in consts],
+        out_specs=pl.BlockSpec((B, meta.attn_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(message, edge_attr, w_rad, mask, pre_logit, post_attn, *warrs, *consts)
+    return out
+
+
+def fused_attention(
+    meta: AttentionCoreMeta,
+    consts_np: Dict[str, np.ndarray],
+    message: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    w_rad: jnp.ndarray,
+    mask: jnp.ndarray,
+    pre_logit: Optional[jnp.ndarray],
+    post_attn: Optional[jnp.ndarray],
+    weights: Dict[str, jnp.ndarray],
+    mode: str = "xla",
+    block_rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatch the fused core; ``mode``: 'xla' | 'pallas'."""
+    consts_np = dict(consts_np)
+    consts_np["E1"] = _dtp_weight_expander(meta.prog1)
+    zeros = jnp.zeros(mask.shape, message.dtype)
+    pre = pre_logit if pre_logit is not None else zeros
+    post = post_attn if post_attn is not None else zeros
+    if mode == "pallas":
+        return _pallas_core(
+            meta, consts_np, message, edge_attr, w_rad, mask, pre, post, weights,
+            block_rows=block_rows, interpret=interpret,
+        )
+    return _xla_core(meta, consts_np, message, edge_attr, w_rad, mask, pre, post, weights)

@@ -59,10 +59,16 @@ class IrrepsLinear(nn.Module):
     dense_max_waste: float = 8.0
 
     @nn.compact
-    def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, f: Optional[jnp.ndarray], materialize: bool = False):
+        """Apply the linear map, or (``materialize=True``, ``f`` ignored)
+        return the effective dense ``(W (dim_in, dim_out), bias (dim_out,))``
+        built from the SAME params — used by the fused Pallas attention core
+        to consume this layer's weights inside a kernel."""
         irreps_in, irreps_out = Irreps(self.irreps_in), Irreps(self.irreps_out)
-        assert f.shape[-1] == irreps_in.dim, (f.shape, irreps_in)
-        batch = f.shape[:-1]
+        dtype = jnp.float32 if f is None else f.dtype
+        if f is not None:
+            assert f.shape[-1] == irreps_in.dim, (f.shape, irreps_in)
+            batch = f.shape[:-1]
         in_slices = irreps_in.slices()
         out_slices = irreps_out.slices()
         # group input entries per irrep type
@@ -86,19 +92,19 @@ class IrrepsLinear(nn.Module):
                     f"w{oi}_{ir}",
                     nn.initializers.uniform(scale=2.0),  # U(0,2) -> shift to U(-1,1)
                     (mul_in, mul_out),
-                    f.dtype,
+                    dtype,
                 )
                 params[oi] = (w - 1.0) / np.sqrt(mul_in)
 
-        if use_dense:
-            W = jnp.zeros((irreps_in.dim, irreps_out.dim), dtype=f.dtype)
-            bias_full = jnp.zeros((irreps_out.dim,), dtype=f.dtype)
+        if use_dense or materialize:
+            W = jnp.zeros((irreps_in.dim, irreps_out.dim), dtype=dtype)
+            bias_full = jnp.zeros((irreps_out.dim,), dtype=dtype)
             any_bias = False
             for oi, (mul_out, ir) in enumerate(irreps_out):
                 d = ir.dim
                 if oi in params:
                     w = params[oi]
-                    eye = jnp.eye(d, dtype=f.dtype)
+                    eye = jnp.eye(d, dtype=dtype)
                     u0 = 0
                     for ii in in_by_ir[ir]:
                         mi = irreps_in[ii][0]
@@ -110,9 +116,11 @@ class IrrepsLinear(nn.Module):
                         )
                         u0 += mi
                 if self.use_bias and ir == Irrep(0, 1):
-                    b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), f.dtype)
+                    b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), dtype)
                     bias_full = jax.lax.dynamic_update_slice(bias_full, b, (out_slices[oi].start,))
                     any_bias = True
+            if materialize:
+                return W, bias_full
             out = f @ W
             if self.use_bias and any_bias:
                 out = out + bias_full

@@ -51,11 +51,23 @@ class DepthwiseTP(nn.Module):
         return self.program.weight_numel
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, edge_attr: jnp.ndarray, weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray],
+        edge_attr: Optional[jnp.ndarray] = None,
+        weight: Optional[jnp.ndarray] = None,
+        return_weight: bool = False,
+    ):
         prog = self.program
+        dtype = jnp.float32 if x is None else x.dtype
         if self.internal_weights:
             assert weight is None
-            weight = self.param("tp_weight", _uniform_pm1, (prog.weight_numel,), x.dtype)
+            weight = self.param("tp_weight", _uniform_pm1, (prog.weight_numel,), dtype)
+        if return_weight:
+            # fused-kernel path: hand the (internal) weight out so the TP can
+            # run inside a Pallas kernel with the same params
+            assert not self.bias
+            return weight
         assert weight is not None
         out = apply_dtp(prog, x, edge_attr, weight)
         if self.bias:
@@ -154,13 +166,20 @@ class SeparableFCTP(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
-        edge_attr: jnp.ndarray,
+        x: Optional[jnp.ndarray],
+        edge_attr: Optional[jnp.ndarray] = None,
         edge_scalars: Optional[jnp.ndarray] = None,
         external_dtp_out: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+        materialize: bool = False,
+    ):
         out_ir = Irreps(self.irreps_out)
         dtp = self.dtp_module()
+        if materialize:
+            # fused-kernel path: (internal TP weight, dense linear W, bias)
+            assert self.internal_weights and not self.use_activation
+            w_tp = dtp(None, return_weight=True)
+            W, b = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(None, materialize=True)
+            return w_tp, W, b
         if external_dtp_out is not None:
             mid = external_dtp_out
         else:
