@@ -5,9 +5,15 @@ evaluation for that seed.  The reference runs ~650-900 *sequential* score
 evals per denoise call with 20 seeds batched on CUDA (server schedule,
 ``configs/panda_mug/server.yaml``; eval notebooks) and reports no timing; the
 paper-era wall clock is minutes per grasp.  ``VS_BASELINE_REF`` below encodes
-the assumed CUDA baseline of 200 pose-steps/s (650 evals x 20 seeds in ~65 s).
+the assumed CUDA baseline of 200 pose-steps/s (650 evals x 20 seeds in ~65 s)
+— an assumption, not a measurement (the reference publishes no numbers).
 
-Run: python bench.py  (prints ONE JSON line)
+Prints ONE JSON line.  The headline metric stays the pick-model throughput;
+the BASELINE.md contract metrics (place-config throughput, seed-batch scaling
+curve, p50 single-request latency, MFU via XLA cost analysis) ride along
+under "extra".
+
+Run: python bench.py [--quick]
 """
 import json
 import os
@@ -16,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # persistent compilation cache: repeat bench runs skip XLA compiles entirely
 from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
@@ -28,28 +35,38 @@ N_SCENE = 1024
 N_SEEDS = 32
 N_STEPS = 100
 
+# peak dense-matmul FLOP/s per chip (bf16 / f32), by device kind prefix.
+# Sources: public TPU spec sheets; f32 on MXU runs at 1/2 the bf16 rate on
+# v4/v5.  MFU below uses the f32 peak (the bench runs f32).
+_PEAK_FLOPS = {
+    "TPU v4": (275e12, 137.5e12),
+    "TPU v5 lite": (394e12, 197e12),
+    "TPU v5e": (394e12, 197e12),
+    "TPU v5p": (459e12, 229.5e12),
+    "TPU v6": (918e12, 459e12),
+}
 
-def main():
+
+def _peak_for(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, (_, f32) in _PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return f32
+    return 0.0
+
+
+def _build_rollout(model, params, scene, grasp, n_steps):
     from diffusion_edf_tpu.diffusion import build_schedule, langevin_sample
-    from diffusion_edf_tpu.train.factory import build_score_model
-    import __graft_entry__ as ge
 
-    cfg = ge._model_config(tiny=False)
-    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
-    scene, Ts, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=N_SCENE, n_poses=N_SEEDS)
-    time0 = jnp.full((Ts.shape[0],), 0.5)
-    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts, scene, scene, time0)
-
-    # scene/query features once per scene (as the agent does, agent.py:134-137)
     key_ms = jax.jit(lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale))(params, scene)
-    query = jax.jit(lambda p, s: model.apply(p, s, method=model.get_query_pcd))(params, scene)
+    query = jax.jit(lambda p, g: model.apply(p, g, method=model.get_query_pcd))(params, grasp)
 
     def score_fn(T, t):
         return model.apply(params, T, key_ms, query, t, method=model.score)
 
     sched = build_schedule(
         diffusion_schedules=[[1.0, 0.15], [0.15, 0.01]],
-        N_steps=[N_STEPS // 2, N_STEPS - N_STEPS // 2],
+        N_steps=[n_steps // 2, n_steps - n_steps // 2],
         timesteps=[0.07, 0.02],
         ang_mult=2.5,
         lin_mult=15.0,
@@ -60,17 +77,98 @@ def main():
         Tf, _ = langevin_sample(k, score_fn, T, sched, 2.5, 15.0, record_trajectory=False)
         return Tf
 
-    # warmup / compile
-    rollout(jax.random.PRNGKey(2), Ts).block_until_ready()
+    n_q = int(np.asarray(jnp.sum(query.mask)))
+    return rollout, n_q
 
-    n_rep = 3
+
+def _time_rollout(rollout, Ts, n_rep=3):
+    rollout(jax.random.PRNGKey(2), Ts).block_until_ready()  # warmup/compile
     t0 = time.perf_counter()
+    out = None
     for i in range(n_rep):
         out = rollout(jax.random.PRNGKey(3 + i), Ts)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    return (time.perf_counter() - t0) / n_rep
 
+
+def _seed_batch(n):
+    q = jax.random.normal(jax.random.PRNGKey(7), (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (n, 3), minval=-10.0, maxval=10.0)
+    return jnp.concatenate([q, x], -1)
+
+
+def main():
+    from diffusion_edf_tpu.train.factory import build_score_model
+    import __graft_entry__ as ge
+
+    quick = "--quick" in sys.argv
+    extra = {}
+
+    # ---------------- headline: pick model ----------------
+    cfg = ge._model_config(tiny=False)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    scene, Ts, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=N_SCENE, n_poses=N_SEEDS)
+    time0 = jnp.full((Ts.shape[0],), 0.5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts, scene, scene, time0)
+    rollout, _ = _build_rollout(model, params, scene, scene, N_STEPS)
+    dt = _time_rollout(rollout, Ts)
     pose_steps_per_s = N_SEEDS * N_STEPS / dt
+
+    # MFU via XLA cost analysis of the compiled rollout
+    try:
+        compiled = rollout.lower(jax.random.PRNGKey(2), Ts).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        peak = _peak_for(jax.devices()[0])
+        extra["rollout_gflops"] = round(flops / 1e9, 2)
+        extra["model_flops_per_s"] = round(flops / dt / 1e12, 4)  # TFLOP/s achieved
+        if peak:
+            extra["mfu_pct_f32peak"] = round(100.0 * flops / dt / peak, 3)
+        extra["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        extra["cost_analysis_error"] = repr(e)
+
+    # ---------------- seed-batch scaling curve ----------------
+    if not quick:
+        curve = {}
+        for n in (32, 128, 512, 2048, 4096):
+            dtn = _time_rollout(rollout, _seed_batch(n), n_rep=2)
+            curve[str(n)] = round(n * N_STEPS / dtn, 1)
+        extra["seed_scaling_pose_steps_per_s"] = curve
+
+    # ---------------- p50 single-request latency ----------------
+    # a serving-shaped request: 20 seeds, 100-step schedule, warm cache
+    lat = []
+    Ts20 = _seed_batch(20)
+    rollout(jax.random.PRNGKey(2), Ts20).block_until_ready()
+    for i in range(5 if quick else 15):
+        t0 = time.perf_counter()
+        rollout(jax.random.PRNGKey(100 + i), Ts20).block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    extra["p50_request_latency_ms"] = round(1e3 * float(np.percentile(lat, 50)), 2)
+
+    # ---------------- place-config model (KeypointExtractor query) --------
+    if not quick:
+        from diffusion_edf_tpu.train.trainer import load_configs
+
+        place_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "diffusion_edf_tpu", "configs", "panda_mug", "place_lowres",
+        )
+        _, _, mcfg = load_configs(place_dir)
+        place_model = build_score_model(mcfg["model_name"], mcfg["model_kwargs"])
+        p_scene, p_Ts, _ = ge._fake_inputs(jax.random.PRNGKey(4), n_scene=N_SCENE, n_poses=N_SEEDS)
+        p_grasp, _, _ = ge._fake_inputs(jax.random.PRNGKey(5), n_scene=512, n_poses=2)
+        p_params = jax.jit(place_model.init)(
+            jax.random.PRNGKey(6), p_Ts, p_scene, p_grasp, jnp.full((p_Ts.shape[0],), 0.5)
+        )
+        p_rollout, n_q = _build_rollout(place_model, p_params, p_scene, p_grasp, N_STEPS)
+        p_dt = _time_rollout(p_rollout, p_Ts, n_rep=2)
+        extra["place_pose_steps_per_s"] = round(N_SEEDS * N_STEPS / p_dt, 1)
+        extra["place_query_points"] = n_q
+
     print(
         json.dumps(
             {
@@ -78,6 +176,7 @@ def main():
                 "value": round(pose_steps_per_s, 1),
                 "unit": "pose_steps/s",
                 "vs_baseline": round(pose_steps_per_s / VS_BASELINE_REF, 2),
+                "extra": extra,
             }
         )
     )

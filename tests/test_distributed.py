@@ -1,0 +1,88 @@
+"""Multi-process (2 simulated hosts) exercise of parallel/distributed.py:
+jax.distributed init over TCP, a global mesh spanning both processes, a
+cross-host psum, and host-local demo sharding."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO"])
+from diffusion_edf_tpu.parallel.distributed import (
+    global_mesh, host_local_demo_slice, initialize_distributed,
+)
+initialize_distributed()  # from COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = global_mesh()
+assert mesh.devices.size == 4, mesh  # 2 processes x 2 virtual devices
+
+# cross-host reduction: every process contributes its process_index + 1 on
+# its local shard; a jit sum over the global array must see both hosts
+pid = jax.process_index()
+sharding = NamedSharding(mesh, P("data"))
+local = jnp.full((2, 1), float(pid + 1))
+garr = jax.make_array_from_single_device_arrays(
+    (4, 1), sharding,
+    [jax.device_put(local[i : i + 1], d) for i, d in enumerate(jax.local_devices())],
+)
+total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
+sl = host_local_demo_slice(10)
+print(json.dumps({
+    "pid": pid, "nproc": jax.process_count(),
+    "total": float(total), "slice": [sl.start, sl.stop],
+}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh_psum(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env_base = {
+        **os.environ,
+        "REPO": os.path.join(os.path.dirname(__file__), ".."),
+        "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "NUM_PROCESSES": "2",
+    }
+    procs = []
+    for pid in range(2):
+        env = {**env_base, "PROCESS_ID": str(pid)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    for o in outs:
+        assert o["nproc"] == 2
+        # sum over the global mesh: 2 devices of host0 (1.0) + 2 of host1 (2.0)
+        assert o["total"] == pytest.approx(6.0)
+    slices = sorted(tuple(o["slice"]) for o in outs)
+    assert slices == [(0, 5), (5, 10)]
