@@ -71,15 +71,18 @@ def record_degree_tape():
         _DEGREE_TAPE = prev
 
 
-def summarize_degree_tape(tape, degrees) -> List[dict]:
-    """Host-side summary: ``degrees`` are the concrete (Nd,) arrays matching
-    ``tape`` order (the traced ``rec.degree`` values returned from jit)."""
+def summarize_degree_tape(tape, degrees, dst_masks=None) -> List[dict]:
+    """Host-side summary: ``degrees`` (and ``dst_masks`` where the tape's
+    masks are tracers) are the concrete (Nd,) arrays matching ``tape`` order,
+    i.e. the traced ``rec.degree``/``rec.dst_mask`` values returned from the
+    jitted function."""
     import numpy as np
 
     out = []
-    for rec, deg in zip(tape, degrees):
+    for i, (rec, deg) in enumerate(zip(tape, degrees)):
         deg = np.asarray(deg)
-        m = np.ones(deg.shape, bool) if rec.dst_mask is None else np.asarray(rec.dst_mask)
+        mask = dst_masks[i] if dst_masks is not None else rec.dst_mask
+        m = np.ones(deg.shape, bool) if mask is None else np.asarray(mask)
         d = deg[m]
         n = max(int(d.size), 1)
         out.append(

@@ -118,3 +118,22 @@ def test_degree_tape_in_jit():
         jnp.asarray(src), jnp.asarray(dst)
     )
     assert len(tape) == 1
+
+
+def test_k_truncation_budget():
+    """Regression: the measured K-truncation on realistic clouds
+    (tools/k_truncation_report.py -> runs/k_truncation.json) stays under the
+    1% budget at every call site (reference semantics: cap 1000 ==
+    effectively untruncated, multiscale_tensor_field.py:195)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "reports", "k_truncation.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no measurement artifact; run tools/k_truncation_report.py")
+    rows = json.load(open(path))
+    assert rows, "empty truncation report"
+    bad = [r for r in rows if r["frac_truncated"] > 0.01]
+    assert not bad, f"K-truncation budget exceeded: {bad}"

@@ -31,10 +31,14 @@ def collect(model, params, scene_fp, grasp_fp, Ts, t):
             key_ms = model.apply(params, scene_fp, method=model.get_key_pcd_multiscale)
             query = model.apply(params, grasp_fp, method=model.get_query_pcd)
             score = model.apply(params, Ts, key_ms, query, t, method=model.score)
-            return score, [rec.degree for rec in tape]
+            masks = [
+                rec.dst_mask if rec.dst_mask is not None else jnp.ones_like(rec.degree, bool)
+                for rec in tape
+            ]
+            return score, [rec.degree for rec in tape], masks
 
-        _, degrees = jax.jit(fn)(params, scene_fp, grasp_fp, Ts, t)
-    return tape, degrees
+        _, degrees, masks = jax.jit(fn)(params, scene_fp, grasp_fp, Ts, t)
+    return tape, degrees, masks
 
 
 def main():
@@ -78,8 +82,8 @@ def main():
         x = center + jax.random.normal(kx, (args.n_poses, 3)) * 10.0  # cm-scaled units
         Ts = jnp.concatenate([q, x], axis=-1)
         t = jax.random.uniform(kt, (args.n_poses,), minval=0.001, maxval=1.0)
-        tape, degrees = collect(tr.model, tr.params, scene_fp, grasp_fp, Ts, t)
-        for s in summarize_degree_tape(tape, degrees):
+        tape, degrees, masks = collect(tr.model, tr.params, scene_fp, grasp_fp, Ts, t)
+        for s in summarize_degree_tape(tape, degrees, masks):
             a = agg.setdefault(
                 s["tag"], dict(tag=s["tag"], r=s["r"], k=s["k"], max_degree=0,
                                frac_truncated=0.0, n_eval=0)
