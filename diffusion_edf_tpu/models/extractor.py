@@ -23,7 +23,7 @@ TPU-native departures:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -50,6 +50,17 @@ def resolve_radii(radius: Sequence[Optional[float]], pool_ratio: Sequence[float]
         else:
             out.append(float(r))
     return out
+
+
+
+def _per_scale(v, n_scales: int):
+    """Broadcast a scalar knob to per-scale values (the reference accepts
+    per-scale lists for irreps_mlp_mid / alpha_drop / proj_drop,
+    ``unet_feature_extractor.py:91-96``)."""
+    if isinstance(v, (list, tuple)):
+        assert len(v) == n_scales, (v, n_scales)
+        return tuple(v)
+    return (v,) * n_scales
 
 
 def _edges(
@@ -132,15 +143,18 @@ class _DownPath(nn.Module):
     radii: Sequence[float]
     k_pool: Sequence[int]
     k_self: Sequence[int]
-    irreps_mlp_mid: int = 3
-    alpha_drop: float = 0.1
-    proj_drop: float = 0.0
+    irreps_mlp_mid: Union[int, Sequence[int]] = 3
+    alpha_drop: Union[float, Sequence[float]] = 0.1
+    proj_drop: Union[float, Sequence[float]] = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
     def __call__(self, pcd: FeaturedPoints, deterministic: bool = True):
         n_scales = len(self.irreps_emb)
         emb = [Irreps(i) for i in self.irreps_emb]
+        mlp_mid = _per_scale(self.irreps_mlp_mid, n_scales)
+        a_drop = _per_scale(self.alpha_drop, n_scales)
+        p_drop = _per_scale(self.proj_drop, n_scales)
         f = pcd.f
         if self.irreps_input is not None:
             f = IrrepsLinear(Irreps(self.irreps_input), emb[0], name="input_emb")(f)
@@ -183,8 +197,8 @@ class _DownPath(nn.Module):
                 num_heads=self.num_heads[n],
                 fc_neurons=tuple(self.fc_neurons[n]),
                 radius=self.radii[n],
-                irreps_mlp_mid=self.irreps_mlp_mid,
-                alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
+                irreps_mlp_mid=mlp_mid[n],
+                alpha_drop=a_drop[n], proj_drop=p_drop[n],
                 name=f"pool_layer_{n}",
             )(src, dst, pool_edges, deterministic=deterministic)
             stack.append(points)
@@ -199,8 +213,8 @@ class _DownPath(nn.Module):
                     num_heads=self.num_heads[n],
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=self.radii[n],
-                    irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
+                    irreps_mlp_mid=mlp_mid[n],
+                    alpha_drop=a_drop[n], proj_drop=p_drop[n],
                     name=f"self_layer_{n}_{i}",
                 )(points, points, self_edges, deterministic=deterministic)
                 stack.append(points)
@@ -225,9 +239,9 @@ class ForwardOnlyFeatureExtractor(nn.Module):
     radius: Sequence[Optional[float]]
     k_pool: Sequence[int] = (24, 24, 24, 24)
     k_self: Sequence[int] = (32, 32, 32, 32)
-    irreps_mlp_mid: int = 3
-    alpha_drop: float = 0.1
-    proj_drop: float = 0.0
+    irreps_mlp_mid: Union[int, Sequence[int]] = 3
+    alpha_drop: Union[float, Sequence[float]] = 0.1
+    proj_drop: Union[float, Sequence[float]] = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
@@ -272,9 +286,9 @@ class UnetFeatureExtractor(nn.Module):
     k_pool: Sequence[int] = (24, 24, 24, 24)
     k_self: Sequence[int] = (32, 32, 32, 32)
     k_up: Sequence[int] = (12, 12, 12, 12)
-    irreps_mlp_mid: int = 3
-    alpha_drop: float = 0.1
-    proj_drop: float = 0.0
+    irreps_mlp_mid: Union[int, Sequence[int]] = 3
+    alpha_drop: Union[float, Sequence[float]] = 0.1
+    proj_drop: Union[float, Sequence[float]] = 0.0
     deterministic_fps: bool = True
 
     @nn.compact
@@ -282,6 +296,9 @@ class UnetFeatureExtractor(nn.Module):
         n_scales = len(self.irreps_emb)
         emb = [Irreps(i) for i in self.irreps_emb]
         radii = resolve_radii(self.radius, self.pool_ratio)
+        mlp_mid = _per_scale(self.irreps_mlp_mid, n_scales)
+        a_drop = _per_scale(self.alpha_drop, n_scales)
+        p_drop = _per_scale(self.proj_drop, n_scales)
         points, stack, scale_points, scale_edges, pool_sources = _DownPath(
             irreps_input=self.irreps_input,
             irreps_emb=tuple(emb),
@@ -311,8 +328,8 @@ class UnetFeatureExtractor(nn.Module):
                 num_heads=self.num_heads[-1],
                 fc_neurons=tuple(self.fc_neurons[-1]),
                 radius=radii[-1],
-                irreps_mlp_mid=self.irreps_mlp_mid,
-                alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
+                irreps_mlp_mid=mlp_mid[-1],
+                alpha_drop=a_drop[-1], proj_drop=p_drop[-1],
                 name=f"mid_layer_{i}",
             )(points, points, mid_edges, deterministic=deterministic)
 
@@ -333,8 +350,8 @@ class UnetFeatureExtractor(nn.Module):
                     num_heads=self.num_heads[n],
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=radii[n],
-                    irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
+                    irreps_mlp_mid=mlp_mid[n],
+                    alpha_drop=a_drop[n], proj_drop=p_drop[n],
                     name=f"up_self_layer_{n}_{i}",
                 )(points, dst, scale_edges[n], deterministic=deterministic)
             upstream_outputs.append(points)
@@ -358,8 +375,8 @@ class UnetFeatureExtractor(nn.Module):
                     num_heads=self.num_heads[n],
                     fc_neurons=tuple(self.fc_neurons[n]),
                     radius=radii[n],
-                    irreps_mlp_mid=self.irreps_mlp_mid,
-                    alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
+                    irreps_mlp_mid=mlp_mid[n],
+                    alpha_drop=a_drop[n], proj_drop=p_drop[n],
                     irreps_head=multiply_irreps(emb[max(n - 1, 0)], 1.0 / self.num_heads[n], strict=True),
                     name=f"unpool_layer_{n}",
                 )(points, dst, up_edges, deterministic=deterministic)

@@ -35,14 +35,12 @@ def _fill_extractor(fe: Dict, k: Dict) -> Dict:
     # drop reference-only knobs we intentionally do not carry
     for legacy in ("pool_method", "attn_type", "drop_path_rate", "output_scalespace"):
         fe.pop(legacy, None)
-    # list-or-scalar normalization: the reference accepts per-scale lists for
-    # irreps_mlp_mid etc.; we keep the scalar form (all real configs use it).
-    if isinstance(fe.get("irreps_mlp_mid"), list):
-        fe["irreps_mlp_mid"] = fe["irreps_mlp_mid"][0]
-    if isinstance(fe.get("alpha_drop"), list):
-        fe["alpha_drop"] = fe["alpha_drop"][0]
-    if isinstance(fe.get("proj_drop"), list):
-        fe["proj_drop"] = fe["proj_drop"][0]
+    # per-scale lists for irreps_mlp_mid / alpha_drop / proj_drop pass through
+    # (reference semantics, ``unet_feature_extractor.py:91-96``); tuples keep
+    # the flax module hashable
+    for knob in ("irreps_mlp_mid", "alpha_drop", "proj_drop"):
+        if isinstance(fe.get(knob), list):
+            fe[knob] = tuple(fe[knob])
     return fe
 
 

@@ -299,3 +299,29 @@ def test_point_attentive_model():
     assert ang.shape == (2, 3) and np.isfinite(np.asarray(ang)).all()
     key_ms = model.apply(params, scene, method=model.get_key_pcd_multiscale)
     assert len(key_ms) == 1 and key_ms[0].w is not None
+
+
+def test_extractor_per_scale_lists():
+    """Per-scale irreps_mlp_mid / alpha_drop lists (reference
+    unet_feature_extractor.py:91-96) build and run; scalar form unchanged."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _fake_inputs, _model_config
+    from diffusion_edf_tpu.train.factory import build_score_model
+
+    cfg = _model_config(tiny=True)
+    fe = cfg["model_kwargs"]["key_kwargs"]["feature_extractor_kwargs"]
+    n = len(fe["irreps_emb"])
+    fe["irreps_mlp_mid"] = [2] * n
+    fe["alpha_drop"] = [0.0] * n
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    scene, Ts, time = _fake_inputs(jax.random.PRNGKey(0), n_scene=48, n_poses=2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts, scene, scene, time)
+    ang, lin = jax.jit(lambda p, T, s, t: model.apply(p, T, s, s, t))(params, Ts, scene, time)
+    assert np.isfinite(np.asarray(ang)).all() and np.isfinite(np.asarray(lin)).all()
+
+    # scalar-form params tree is identical to the all-equal list form
+    cfg2 = _model_config(tiny=True)
+    model2 = build_score_model(cfg2["model_name"], cfg2["model_kwargs"])
+    params2 = jax.jit(model2.init)(jax.random.PRNGKey(1), Ts, scene, scene, time)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
