@@ -1,0 +1,127 @@
+"""On-device per-step demo augmentation.
+
+Round-2 convergence fix.  The round-1 trainer preprocessed each demo ONCE
+into static padded arrays, so the model saw bit-identical clouds on every
+step and memorized the exact voxel pattern: the failure-mode probe
+(``tools/diag_probe.py``, ``runs/probe_e3.json``) showed a converged training
+scene at 2.1 deg rotation error exploding to 162 deg under 1 mm point jitter
+and to 75 deg under a rigid z-rotation — both sub-voxel resampling
+perturbations.  The reference resists this because its dataloader re-runs the
+stochastic preprocess pipeline per draw (reference ``trainer.py:93-121``);
+the TPU whole-epoch-scan design instead moves the stochasticity on device,
+inside the jitted train step:
+
+* independent random SO(3) frames for scene and grasp (exercises the exact
+  bi-equivariance of the architecture: the target transports as
+  ``T' = A_s * T * A_g^-1``),
+* Gaussian point jitter (approximates voxel-grid resampling noise),
+* random point dropout via the validity mask,
+* color jitter.
+
+All ops are elementwise/masked on the padded arrays — no host round trips,
+no shape changes, fully scan/jit compatible.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import so3
+from ..models.data import FeaturedPoints
+
+__all__ = ["AugmentConfig", "augment_batch"]
+
+
+class AugmentConfig(NamedTuple):
+    """Knobs are in model units (cm after the standard rescale preprocess).
+
+    ``jitter_std=0.25`` is a quarter of the 1 cm training voxel; ``point_keep``
+    is the per-point Bernoulli keep probability applied to the validity mask.
+    Set a field falsy to disable that augmentation.
+    """
+
+    rotate_scene: bool = True
+    rotate_grasp: bool = True
+    jitter_std: float = 0.25
+    point_keep: float = 0.95
+    color_std: float = 0.02
+
+    @classmethod
+    def from_dict(cls, d) -> "AugmentConfig":
+        d = dict(d or {})
+        if d.pop("enable", True) is False:
+            return cls(False, False, 0.0, 1.0, 0.0)
+        unknown = set(d) - set(cls._fields)
+        if unknown:
+            raise ValueError(f"unknown augment_configs keys: {sorted(unknown)}")
+        return cls(**d)
+
+
+def _masked_centroid(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    w = mask.astype(x.dtype)[:, None]
+    return jnp.sum(x * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _frame_about(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) action of rotating by ``q`` about point ``c`` (world fixed)."""
+    t = c - so3.quaternion_apply(q, c)
+    return jnp.concatenate([q, t])
+
+
+def augment_batch(
+    key: jax.Array,
+    scene: FeaturedPoints,
+    grasp: FeaturedPoints,
+    T_target: jnp.ndarray,  # (nT, 7)
+    cfg: AugmentConfig,
+):
+    """Returns augmented ``(scene, grasp, T_target)``.
+
+    Rotations are about each cloud's masked centroid (keeps coordinates in
+    the trained numeric range); the target pose transports exactly:
+    ``T' = A_s * T * A_g^-1`` where ``A_s``/``A_g`` are the scene/grasp
+    frame actions.  With every knob disabled this is the identity.
+    """
+    ks, kg, kj1, kj2, kd1, kd2, kc1, kc2 = jax.random.split(key, 8)
+    dtype = scene.x.dtype
+    ident = jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], dtype=dtype)
+
+    A_s = (
+        _frame_about(so3.random_quaternions(ks, 1, dtype=dtype)[0], _masked_centroid(scene.x, scene.mask))
+        if cfg.rotate_scene
+        else ident
+    )
+    A_g = (
+        _frame_about(so3.random_quaternions(kg, 1, dtype=dtype)[0], _masked_centroid(grasp.x, grasp.mask))
+        if cfg.rotate_grasp
+        else ident
+    )
+
+    def _apply(T, x):
+        return so3.quaternion_apply(T[None, :4], x) + T[None, 4:]
+
+    scene_x = _apply(A_s, scene.x)
+    grasp_x = _apply(A_g, grasp.x)
+    T_new = so3.multiply_se3(A_s[None], so3.multiply_se3(T_target, so3.se3_invert(A_g[None])))
+
+    if cfg.jitter_std:
+        scene_x = scene_x + cfg.jitter_std * jax.random.normal(kj1, scene_x.shape, dtype)
+        grasp_x = grasp_x + cfg.jitter_std * jax.random.normal(kj2, grasp_x.shape, dtype)
+
+    scene_mask, grasp_mask = scene.mask, grasp.mask
+    if cfg.point_keep < 1.0:
+        scene_mask = scene_mask & jax.random.bernoulli(kd1, cfg.point_keep, scene_mask.shape)
+        grasp_mask = grasp_mask & jax.random.bernoulli(kd2, cfg.point_keep, grasp_mask.shape)
+
+    scene_f, grasp_f = scene.f, grasp.f
+    if cfg.color_std:
+        scene_f = jnp.clip(scene_f + cfg.color_std * jax.random.normal(kc1, scene_f.shape, dtype), 0.0, 1.0)
+        grasp_f = jnp.clip(grasp_f + cfg.color_std * jax.random.normal(kc2, grasp_f.shape, dtype), 0.0, 1.0)
+
+    return (
+        scene.replace(x=scene_x, f=scene_f, mask=scene_mask),
+        grasp.replace(x=grasp_x, f=grasp_f, mask=grasp_mask),
+        T_new,
+    )

@@ -26,6 +26,7 @@ import optax
 import yaml
 
 from ..diffusion.diffuse import biequiv_diffusion, random_time
+from .augment import AugmentConfig, augment_batch
 from ..models.data import FeaturedPoints
 from ..models.score_model import train_loss
 from .data import DemoSequence, TargetPoseDemo, compose_proc_fn, pad_pointcloud
@@ -96,6 +97,7 @@ class DiffusionEdfTrainer:
             tuple(s) for s in diff.get("time_schedules", [[1.0, 0.01]])
         ]
         self.t_augment = diff.get("t_augment", None)
+        self.augment = AugmentConfig.from_dict(self.train_cfg.get("augment_configs", {}))
         self.n_scene_pad = n_scene_pad
         self.n_grasp_pad = n_grasp_pad
 
@@ -169,10 +171,13 @@ class DiffusionEdfTrainer:
         contact_radius = self.contact_radius
         optimizer = self.optimizer
         t_augment = self.t_augment
+        augment = self.augment
 
         def step_fn(params, opt_state, key, scene: FeaturedPoints, grasp: FeaturedPoints, T_target):
-            keys = jax.random.split(key, 2 * len(schedules) + 3)
+            keys = jax.random.split(key, 2 * len(schedules) + 4)
             dropout_key = keys[-2]
+
+            scene, grasp, T_target = augment_batch(keys[-3], scene, grasp, T_target, augment)
 
             if t_augment is not None:
                 T_aug, _, _, _, _ = biequiv_diffusion(

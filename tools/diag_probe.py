@@ -1,0 +1,192 @@
+"""Failure-mode probe for a trained checkpoint on the synthetic task.
+
+Discriminates three hypotheses for the bimodal per-scene eval failures
+(train scenes either ~5 deg or 100-180 deg, VERDICT.md "what's weak" #1):
+
+  A. wrong-basin sampling  -> final samples cluster tightly at a wrong pose
+     (coarse field funnels to a distractor basin; fine field locks it in)
+  B. broken equivariance   -> rigidly rotating a *succeeding* scene makes it
+     fail (the learned rule is not transported by rotations)
+  C. point-pattern overfit -> tiny point jitter (1 mm, below the 1 cm voxel)
+     on a succeeding scene makes it fail (memorized the exact cloud)
+
+Run: python tools/diag_probe.py --checkpoint runs/diag_e3/checkpoint \
+        --good-seed 6 --bad-seed 0 [--out runs/probe_e3.json]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _rot_demo(demo, R):
+    """Rigidly rotate scene cloud + target pose about the scene centroid."""
+    from diffusion_edf_tpu.train.data import PointCloud, TargetPoseDemo
+
+    c = demo.scene_pcd.points.mean(0)
+    pts = (demo.scene_pcd.points - c) @ R.T + c
+    q = _mat_to_quat(R)
+    tp = np.array(demo.target_poses, dtype=np.float64).copy()
+    tp[:, 4:] = (tp[:, 4:] - c) @ R.T + c
+    tp[:, :4] = np.stack([_quat_mul(q, x) for x in tp[:, :4]])
+    return TargetPoseDemo(
+        scene_pcd=PointCloud(points=pts, colors=demo.scene_pcd.colors),
+        grasp_pcd=demo.grasp_pcd,
+        target_poses=tp,
+        name=demo.name + "_rot",
+    )
+
+
+def _jitter_demo(demo, rng, sigma=0.001):
+    from diffusion_edf_tpu.train.data import PointCloud, TargetPoseDemo
+
+    return TargetPoseDemo(
+        scene_pcd=PointCloud(
+            points=demo.scene_pcd.points + rng.normal(0, sigma, demo.scene_pcd.points.shape),
+            colors=demo.scene_pcd.colors,
+        ),
+        grasp_pcd=PointCloud(
+            points=demo.grasp_pcd.points + rng.normal(0, sigma, demo.grasp_pcd.points.shape),
+            colors=demo.grasp_pcd.colors,
+        ),
+        target_poses=demo.target_poses,
+        name=demo.name + "_jit",
+    )
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _mat_to_quat(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    x = (R[2, 1] - R[1, 2]) / (4 * w)
+    y = (R[0, 2] - R[2, 0]) / (4 * w)
+    z = (R[1, 0] - R[0, 1]) / (4 * w)
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _spread(final):
+    """Pairwise spread of final samples: median pairwise trans (cm units in)
+    and rot (deg).  Tight cluster => samples agree on one (possibly wrong)
+    pose."""
+    f = np.asarray(final, dtype=np.float64)
+    q, t = f[:, :4], f[:, 4:]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    dots = np.abs(q @ q.T)
+    ang = 2 * np.arccos(np.clip(dots, -1, 1)) * 180 / np.pi
+    trans = np.linalg.norm(t[:, None] - t[None], axis=-1)
+    iu = np.triu_indices(len(f), 1)
+    return float(np.median(trans[iu])), float(np.median(ang[iu]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--checkpoint", default="runs/diag_e3/checkpoint")
+    p.add_argument("--good-seed", type=int, default=6)
+    p.add_argument("--bad-seed", type=int, default=0)
+    p.add_argument("--n-seeds", type=int, default=20)
+    p.add_argument("--out", default="runs/probe_e3.json")
+    args = p.parse_args()
+
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import jax
+
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, load_model_bundle
+    from diffusion_edf_tpu.eval import evaluate_agent, pose_errors
+    from diffusion_edf_tpu.train.data import DemoSequence
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_demo
+
+    bundle = load_model_bundle(args.configs_root_dir, checkpoint_dir=args.checkpoint)
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+    agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
+
+    rng = np.random.default_rng(0)
+    # fixed 90-deg-ish rotation about z then x (stays "tabletop-like" for z,
+    # but also test a full 3D rotation)
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=np.float64)
+
+    report = {}
+    for label, seed in [("good", args.good_seed), ("bad", args.bad_seed)]:
+        base = make_synthetic_demo(seed)[0]  # pick step
+        variants = {
+            "base": base,
+            "rot_z90": _rot_demo(base, Rz),
+            "jitter_1mm": _jitter_demo(base, rng),
+        }
+        report[label] = {"seed": seed}
+        for vname, demo in variants.items():
+            r = evaluate_agent(
+                agent, [DemoSequence(steps=[demo])], task_type="pick",
+                n_seeds=args.n_seeds, seed=1 + seed,
+            )
+            d = r["per_demo"][0]
+            report[label][vname] = {
+                "trans_med_cm": round(d["trans_err_cm_median"], 2),
+                "rot_med_deg": round(d["rot_err_deg_median"], 1),
+                "best_trans_cm": round(d["best_trans_err_cm"], 2),
+                "best_rot_deg": round(d["best_rot_err_deg"], 1),
+            }
+            print(label, vname, report[label][vname], flush=True)
+
+    # cluster structure of final samples on the bad scene (hypothesis A)
+    bad = make_synthetic_demo(args.bad_seed)[0]
+    center = bad.scene_pcd.points.mean(0)
+    spread0 = bad.scene_pcd.points.std(0).mean() + 0.05
+    r2 = np.random.default_rng(1 + args.bad_seed)
+    q = r2.normal(size=(args.n_seeds, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = center + r2.normal(scale=spread0, size=(args.n_seeds, 3))
+    Ts_init = np.concatenate([q, t], axis=-1)
+    traj, _, _, _ = agent.sample(
+        bad.scene_pcd, bad.grasp_pcd, Ts_init, key=jax.random.PRNGKey(7),
+        N_steps_list=[[150, 150]], timesteps_list=[[0.04, 0.02]],
+        temperatures_list=[[1.0, 0.3]],
+        diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.01]]],
+        log_t_schedule=True, time_exponent_temp=1.0, time_exponent_alpha=0.5,
+    )
+    final = np.asarray(traj[-1])
+    sp_t, sp_a = _spread(final)
+    from diffusion_edf_tpu.train.data import TargetPoseDemo
+
+    target_proc = agent.proc_fn(
+        TargetPoseDemo(scene_pcd=bad.scene_pcd, grasp_pcd=bad.grasp_pcd, target_poses=bad.target_poses)
+    ).target_poses
+    errs = pose_errors(final, target_proc)
+    report["bad_cluster"] = {
+        "pairwise_trans_med_cm": round(sp_t, 2),
+        "pairwise_rot_med_deg": round(sp_a, 1),
+        "per_sample_trans_cm": [round(float(x), 1) for x in errs["trans_err"]],
+        "per_sample_rot_deg": [round(float(x), 0) for x in errs["rot_err_deg"]],
+    }
+    print("bad_cluster", report["bad_cluster"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print("->", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
