@@ -45,6 +45,32 @@ def pose_errors(samples: np.ndarray, targets: np.ndarray) -> Dict[str, np.ndarra
     }
 
 
+def _symmetry_orbit(targets: np.ndarray, n: int) -> np.ndarray:
+    """Expand each target pose into its orbit under rotation about the world
+    z-axis through the target point (the synthetic place task's physical
+    symmetry: a mug hangs on the pole at any roll, the demo records one).
+    Orbit poses share the translation; orientations are ``qz(theta) * q``."""
+    thetas = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    qz = np.stack(
+        [np.cos(thetas / 2), np.zeros(n), np.zeros(n), np.sin(thetas / 2)], axis=-1
+    )  # (n, 4) rotations about +z
+    out = []
+    for T in np.asarray(targets, dtype=np.float64).reshape(-1, 7):
+        w1, x1, y1, z1 = qz[:, 0], qz[:, 1], qz[:, 2], qz[:, 3]
+        w2, x2, y2, z2 = T[0], T[1], T[2], T[3]
+        q = np.stack(
+            [
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ],
+            axis=-1,
+        )
+        out.append(np.concatenate([q, np.tile(T[4:], (n, 1))], axis=-1))
+    return np.concatenate(out, axis=0)
+
+
 def evaluate_agent(
     agent,
     demos,
@@ -54,12 +80,17 @@ def evaluate_agent(
     seed: int = 0,
     success_trans_cm: float = 1.0,
     success_rot_deg: float = 5.0,
+    symmetry_orbit: Optional[int] = None,
 ) -> Dict:
     """Run the agent on every demo; return aggregate pose metrics.
 
     ``demos``: list of DemoSequence; targets are compared in model (cm) units.
+    ``symmetry_orbit``: expand targets into an n-point orbit about the world
+    z-axis before scoring (``None`` = auto: 72 for place, off for pick).
     """
     step_idx = 0 if task_type == "pick" else 1
+    if symmetry_orbit is None:
+        symmetry_orbit = 72 if task_type == "place" else 0
     cfg = diffusion_configs or dict(
         N_steps_list=[[150, 150]],
         timesteps_list=[[0.04, 0.02]],
@@ -95,6 +126,8 @@ def evaluate_agent(
                 scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd, target_poses=demo.target_poses
             )
         ).target_poses
+        if symmetry_orbit:
+            target_proc = _symmetry_orbit(target_proc, symmetry_orbit)
         errs = pose_errors(final, target_proc)
         all_trans.append(errs["trans_err"])
         all_rot.append(errs["rot_err_deg"])

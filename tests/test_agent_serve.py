@@ -250,3 +250,33 @@ def test_batched_serving_one_dispatch(agent):
         assert service.batch_stats["batched_requests"] == 4
     finally:
         httpd.shutdown()
+
+
+def test_symmetry_orbit_metric():
+    """Place-task metric: a sample equal to the target rotated about the
+    world z-axis (through the target point) is a valid placement — zero
+    error under the orbit metric, large error without it."""
+    from diffusion_edf_tpu.eval import _symmetry_orbit, pose_errors
+
+    q = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0, 0.0])  # Rx(90)
+    target = np.concatenate([q, [1.0, -2.0, 3.0]])[None]
+    # sample = Rz(137deg) * target (about the target point)
+    th = np.deg2rad(137.0)
+    qz = np.array([np.cos(th / 2), 0, 0, np.sin(th / 2)])
+    w1, x1, y1, z1 = qz
+    w2, x2, y2, z2 = q
+    q_rot = np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+    sample = np.concatenate([q_rot, target[0, 4:]])[None]
+
+    plain = pose_errors(sample, target)
+    assert plain["rot_err_deg"][0] > 90.0
+    orbit = _symmetry_orbit(target, 72)
+    assert orbit.shape == (72, 7)
+    sym = pose_errors(sample, orbit)
+    assert sym["rot_err_deg"][0] < 5.0 + 1e-6
+    assert sym["trans_err"][0] < 1e-9
