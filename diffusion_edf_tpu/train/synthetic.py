@@ -179,6 +179,15 @@ def make_synthetic_demo(
     scene_pts = np.concatenate(scene_parts)
     scene_cols = np.concatenate(scene_col_parts)
     scene = PointCloud(points=scene_pts, colors=scene_cols)
+    # place-step scene: the mug has been picked up — it is in the gripper,
+    # not on the table (a duplicate table mug would be a spurious attractor
+    # for the place score field; the reference demos likewise record a fresh
+    # scene cloud per step)
+    place_parts = [(p, c) for p, c in zip(scene_parts, scene_col_parts) if p is not mug_world]
+    place_scene = PointCloud(
+        points=np.concatenate([p for p, _ in place_parts]),
+        colors=np.concatenate([c for _, c in place_parts]),
+    )
 
     # --- grasped object cloud (mug in gripper frame) ---
     handle_off = np.array([0.01 + 0.035 * shape_scale, 0.0, 0.04])
@@ -200,7 +209,7 @@ def make_synthetic_demo(
     place_pose = np.concatenate([q_place, t_place])[None]
 
     pick = TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=pick_pose, name=f"synt_{seed}_pick")
-    place = TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=place_pose, name=f"synt_{seed}_place")
+    place = TargetPoseDemo(scene_pcd=place_scene, grasp_pcd=grasp, target_poses=place_pose, name=f"synt_{seed}_place")
     return DemoSequence(steps=[pick, place])
 
 
