@@ -45,15 +45,20 @@ def pose_errors(samples: np.ndarray, targets: np.ndarray) -> Dict[str, np.ndarra
     }
 
 
-def _symmetry_orbit(targets: np.ndarray, n: int) -> np.ndarray:
+def _symmetry_orbit(
+    targets: np.ndarray, n: int, center: Optional[np.ndarray] = None
+) -> np.ndarray:
     """Expand each target pose into its orbit under rotation about the world
-    z-axis through the target point (the synthetic place task's physical
-    symmetry: a mug hangs on the pole at any roll, the demo records one).
-    Orbit poses share the translation; orientations are ``qz(theta) * q``."""
+    z-axis (the synthetic place task's physical symmetry: a mug hangs on the
+    pole at any roll, the demo records one).  The axis passes through
+    ``center`` (e.g. the hang point, from ``TargetPoseDemo.symmetry``) so the
+    whole posed assembly — gripper included — swings around it; with no
+    center the target's own translation is the pivot (shared translation)."""
     thetas = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
     qz = np.stack(
         [np.cos(thetas / 2), np.zeros(n), np.zeros(n), np.sin(thetas / 2)], axis=-1
     )  # (n, 4) rotations about +z
+    cos_t, sin_t = np.cos(thetas), np.sin(thetas)
     out = []
     for T in np.asarray(targets, dtype=np.float64).reshape(-1, 7):
         w1, x1, y1, z1 = qz[:, 0], qz[:, 1], qz[:, 2], qz[:, 3]
@@ -67,7 +72,16 @@ def _symmetry_orbit(targets: np.ndarray, n: int) -> np.ndarray:
             ],
             axis=-1,
         )
-        out.append(np.concatenate([q, np.tile(T[4:], (n, 1))], axis=-1))
+        if center is None:
+            trans = np.tile(T[4:], (n, 1))
+        else:
+            c = np.asarray(center, dtype=np.float64)
+            d = T[4:] - c
+            trans = c + np.stack(
+                [cos_t * d[0] - sin_t * d[1], sin_t * d[0] + cos_t * d[1], np.full(n, d[2])],
+                axis=-1,
+            )
+        out.append(np.concatenate([q, trans], axis=-1))
     return np.concatenate(out, axis=0)
 
 
@@ -121,13 +135,16 @@ def evaluate_agent(
         # targets in cm (preprocess rescale applied to a copy)
         from .train.data import TargetPoseDemo
 
-        target_proc = agent.proc_fn(
+        demo_proc = agent.proc_fn(
             TargetPoseDemo(
-                scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd, target_poses=demo.target_poses
+                scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd,
+                target_poses=demo.target_poses, symmetry=getattr(demo, "symmetry", None),
             )
-        ).target_poses
+        )
+        target_proc = demo_proc.target_poses
         if symmetry_orbit:
-            target_proc = _symmetry_orbit(target_proc, symmetry_orbit)
+            sym = demo_proc.symmetry or {}
+            target_proc = _symmetry_orbit(target_proc, symmetry_orbit, center=sym.get("center"))
         errs = pose_errors(final, target_proc)
         all_trans.append(errs["trans_err"])
         all_rot.append(errs["rot_err_deg"])

@@ -58,6 +58,10 @@ class TargetPoseDemo:
     grasp_pcd: PointCloud
     target_poses: np.ndarray  # (nP, 7) (qw,qx,qy,qz,x,y,z)
     name: str = ""
+    # optional task symmetry: {"axis": [x,y,z], "center": [x,y,z]} — the demo
+    # records ONE representative of an orbit of equivalent targets (e.g. the
+    # roll of a mug hung on a pole); eval expands targets into the orbit.
+    symmetry: Optional[Dict] = None
 
     def __post_init__(self):
         self.target_poses = np.asarray(self.target_poses, dtype=np.float32).reshape(-1, 7)
@@ -192,6 +196,7 @@ def compose_proc_fn(preprocess_config: Sequence[Dict], seed: Optional[int] = Non
     def proc(demo: TargetPoseDemo) -> TargetPoseDemo:
         scene, grasp = demo.scene_pcd, demo.grasp_pcd
         poses = demo.target_poses.copy()
+        symmetry = dict(demo.symmetry) if demo.symmetry else None
         for op in preprocess_config:
             name, kwargs = op["name"], dict(op.get("kwargs", {}))
             fn = PREPROCESS_REGISTRY[name]
@@ -202,12 +207,16 @@ def compose_proc_fn(preprocess_config: Sequence[Dict], seed: Optional[int] = Non
                 scene = fn(scene, **kwargs)
                 grasp = fn(grasp, **kwargs)
                 poses = np.concatenate([poses[:, :4], poses[:, 4:] * factor], axis=-1)
+                if symmetry is not None and "center" in symmetry:
+                    symmetry["center"] = (np.asarray(symmetry["center"], np.float64) * factor).tolist()
                 continue
             if targets is None or "scene_pcd" in targets:
                 scene = fn(scene, **kwargs, **extra)
             if targets is None or "grasp_pcd" in targets:
                 grasp = fn(grasp, **kwargs, **extra)
-        return TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=poses, name=demo.name)
+        return TargetPoseDemo(
+            scene_pcd=scene, grasp_pcd=grasp, target_poses=poses, name=demo.name, symmetry=symmetry
+        )
 
     return proc
 

@@ -4,9 +4,27 @@ The reference ships LFS demo datasets (``demo/panda_mug_on_hanger``) that are
 unavailable offline; this module generates geometrically meaningful pick/place
 tasks with the same container format so the full train/eval/serve pipeline can
 run end-to-end.  The task family is "mug on hanger"-like: a tabletop scene
-with a pole ("hanger") at a random pose, a mug-like grasped object, and target
-poses that hang the mug on the pole (place) or grasp the mug from the table
-(pick).  Units: meters (rescaled to cm by the standard preprocess pipeline,
+with a pole ("hanger") at a random pose, a mug, and a two-finger gripper.
+
+Frame convention (matches the reference demos + configs): grasp clouds are in
+the HAND-BASE frame of a Franka-like gripper whose TCP is at ``z = 10.5 cm``
+— the pick model's static query keypoints (``score_model_configs.yaml``
+``keypoint_coords: [+-0.5, +-0.5, 10.5]`` cm) sit between the fingertips, at
+the grasp contact, and the place model's KeypointExtractor bbox
+(``z in [8, 100]`` cm) selects the held object above the fingers.  Round-1/2
+convergence failures traced to violating this: a mug-at-origin grasp frame put
+the pick keypoints 10 cm into empty space (finest field scale saw nothing)
+and left the place bbox EMPTY (degenerate query).
+
+* pick:  scene = table + pole + mug; grasp cloud = gripper (hand frame);
+  target = hand pose whose fingertips straddle the mug handle.
+* place: scene = table + pole; grasp cloud = gripper + mug held in hand;
+  target = hand pose that hangs the mug on the pole (random roll about the
+  vertical axis through the hang point — the physical symmetry; demos record
+  one roll, and ``TargetPoseDemo.symmetry`` carries the orbit center so eval
+  can score against the full orbit).
+
+Units: meters (rescaled to cm by the standard preprocess pipeline,
 ``README.md:81-100``).
 """
 from __future__ import annotations
@@ -22,7 +40,12 @@ __all__ = [
     "make_synthetic_dataset",
     "make_split_dataset",
     "SPLITS",
+    "GRIPPER_TCP",
 ]
+
+# hand-base -> TCP offset (meters); the reference Franka hand's flange->TCP is
+# 10.34 cm, and the pick configs put the static keypoints at z = 10.5 cm.
+GRIPPER_TCP = np.array([0.0, 0.0, 0.105])
 
 
 def _cylinder(rng, center, axis, radius, length, n, color):
@@ -60,11 +83,11 @@ def _disk(rng, center, radius, n, color):
 
 
 def _mug(rng, n, color, shape_scale: float = 1.0):
-    """Mug-like object in its own (grasp) frame: cylinder + closed bottom +
-    handle + a bright rim marker.  The bottom disk and marker break the
-    approximate 180-degree flip symmetry of an open shell, so target
-    orientations are unambiguous (pose metrics would otherwise count valid
-    symmetric samples as ~180-degree errors).
+    """Mug-like object in its own frame: cylinder + closed bottom + handle +
+    a bright rim marker.  The bottom disk and marker break the approximate
+    180-degree flip symmetry of an open shell, so target orientations are
+    unambiguous (pose metrics would otherwise count valid symmetric samples
+    as ~180-degree errors).
 
     ``shape_scale`` != 1 yields an unseen mug *instance* (different
     radius/height, handle kept at the same grasp offset so target poses stay
@@ -86,6 +109,24 @@ def _mug(rng, n, color, shape_scale: float = 1.0):
         np.concatenate([body, handle, bottom, marker]),
         np.concatenate([cb, ch, cbo, cm]),
     )
+
+
+def _gripper(rng, n):
+    """Two-finger gripper in the hand-base frame: wrist cylinder + crossbar +
+    two fingers whose gap is centered on the TCP (``GRIPPER_TCP``).  The
+    fingers are color-coded (red/green) so the cloud (which the model sees as
+    RGB 3x0e features) breaks the parallel-jaw 180-degree flip symmetry —
+    real scanned grippers are likewise color/texture asymmetric."""
+    n_wrist = int(n * 0.4)
+    n_bar = int(n * 0.2)
+    n_f = (n - n_wrist - n_bar) // 2
+    wrist, cw = _cylinder(rng, [0, 0, 0.03], [0, 0, 1], 0.016, 0.06, n_wrist, [0.35, 0.35, 0.4])
+    bar, cbar = _cylinder(rng, [0, 0, 0.065], [1, 0, 0], 0.009, 0.075, n_bar, [0.3, 0.3, 0.35])
+    f1, c1 = _cylinder(rng, [0.017, 0, 0.0875], [0, 0, 1], 0.004, 0.045, n_f, [0.85, 0.15, 0.1])
+    f2, c2 = _cylinder(
+        rng, [-0.017, 0, 0.0875], [0, 0, 1], 0.004, 0.045, n - n_wrist - n_bar - n_f, [0.1, 0.7, 0.2]
+    )
+    return np.concatenate([wrist, bar, f1, f2]), np.concatenate([cw, cbar, c1, c2])
 
 
 def _distractors(rng, n, n_objects):
@@ -125,6 +166,23 @@ def _quat_mul(a, b):
             w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
         ]
     )
+
+
+def _quat_apply(q, pts):
+    w, x, y, z = q
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return np.asarray(pts) @ R.T
+
+
+# top-down grasp base rotation: hand +z (approach) -> world -z, finger
+# separation axis (hand x) -> world y.  R0 = rotation by pi about (1,1,0)/sqrt2.
+_Q_TOPDOWN = np.array([0.0, np.sqrt(0.5), np.sqrt(0.5), 0.0])
 
 
 def make_synthetic_demo(
@@ -189,27 +247,53 @@ def make_synthetic_demo(
         colors=np.concatenate([c for _, c in place_parts]),
     )
 
-    # --- grasped object cloud (mug in gripper frame) ---
+    # --- pick: gripper (hand frame) grasps the mug handle top-down ---
     handle_off = np.array([0.01 + 0.035 * shape_scale, 0.0, 0.04])
-    grasp_local, gc = _mug(rng, n_grasp, [0.2, 0.3, 0.7], shape_scale=shape_scale)
-    # gripper holds the mug by the handle: offset so the handle is at origin
-    grasp_local = grasp_local - handle_off
-    grasp = PointCloud(points=grasp_local, colors=gc)
+    grip_z = 0.05  # grip the upper handle (handle spans z in [0.015, 0.065])
+    handle_xy = mug_pos + Rz @ handle_off
+    grip_world = np.array([handle_xy[0], handle_xy[1], grip_z])
 
-    # --- pick target: gripper pose that aligns grasp frame to mug handle ---
-    q_pick = _quat_mul(_quat_about([0, 0, 1], mug_yaw), _quat_about([1, 0, 0], 0.0))
-    t_pick = mug_pos + Rz @ handle_off
+    gripper_pts, gripper_cols = _gripper(rng, n_grasp)
+    pick_grasp = PointCloud(points=gripper_pts, colors=gripper_cols)
+
+    q_pick = _quat_mul(_quat_about([0, 0, 1], mug_yaw), _Q_TOPDOWN)
+    # R_pick @ TCP = (0, 0, -0.105) for any yaw (top-down approach)
+    t_pick = grip_world - _quat_apply(q_pick, GRIPPER_TCP[None])[0]
     pick_pose = np.concatenate([q_pick, t_pick])[None]
 
-    # --- place target: mug hung on the pole tip ---
+    # --- place: gripper + held mug (hand frame); hang the mug on the pole ---
+    # mug-in-hand transform T_rel = T_pick^-1 * T_mug: R_rel = R0 (the
+    # top-down base rotation, an involution), t_rel = R0 @ Rz(-yaw)(mug_pos -
+    # t_pick) — the handle sits at the TCP, the (upside-down) body above the
+    # fingers, inside the place query bbox (z in [8, 100] cm, hand frame).
+    t_rel = _quat_apply(_Q_TOPDOWN, (mug_pos - t_pick)[None] @ Rz)[0]
+    mug_hand_local, mh_cols = _mug(rng, int(n_grasp * 0.65), [0.2, 0.3, 0.7], shape_scale=shape_scale)
+    mug_in_hand = _quat_apply(_Q_TOPDOWN, mug_hand_local) + t_rel
+    grip2_pts, grip2_cols = _gripper(rng, n_grasp - int(n_grasp * 0.65))
+    place_grasp = PointCloud(
+        points=np.concatenate([grip2_pts, mug_in_hand]),
+        colors=np.concatenate([grip2_cols, mh_cols]),
+    )
+
+    # mug world pose when hung on the pole tip (random roll about world z
+    # through the hang point — the task's physical symmetry)
     hang_point = pole_base + 0.19 * pole_dir
     roll = rng.uniform(0, 2 * np.pi)
-    q_place = _quat_mul(_quat_about([0, 0, 1], roll), _quat_about([1, 0, 0], np.pi / 2))
-    t_place = hang_point
+    q_place_mug = _quat_mul(_quat_about([0, 0, 1], roll), _quat_about([1, 0, 0], np.pi / 2))
+    # hand pose H = T_mug_world * T_rel^-1
+    t_relinv = -_quat_apply(_Q_TOPDOWN, t_rel[None])[0]  # R0^-1 = R0
+    q_place = _quat_mul(q_place_mug, _Q_TOPDOWN)
+    t_place = hang_point + _quat_apply(q_place_mug, t_relinv[None])[0]
     place_pose = np.concatenate([q_place, t_place])[None]
 
-    pick = TargetPoseDemo(scene_pcd=scene, grasp_pcd=grasp, target_poses=pick_pose, name=f"synt_{seed}_pick")
-    place = TargetPoseDemo(scene_pcd=place_scene, grasp_pcd=grasp, target_poses=place_pose, name=f"synt_{seed}_place")
+    pick = TargetPoseDemo(scene_pcd=scene, grasp_pcd=pick_grasp, target_poses=pick_pose, name=f"synt_{seed}_pick")
+    place = TargetPoseDemo(
+        scene_pcd=place_scene,
+        grasp_pcd=place_grasp,
+        target_poses=place_pose,
+        name=f"synt_{seed}_place",
+        symmetry={"axis": [0.0, 0.0, 1.0], "center": hang_point.tolist()},
+    )
     return DemoSequence(steps=[pick, place])
 
 

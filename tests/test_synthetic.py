@@ -1,12 +1,103 @@
-"""Synthetic-task generator: split semantics + pick/place target consistency."""
+"""Synthetic-task generator: split semantics + pick/place target consistency.
+
+The grasp-frame convention is load-bearing (round-2 convergence root cause):
+grasp clouds live in the hand-base frame with the TCP at z=10.5cm, where the
+pick configs' static query keypoints sit and above the place configs'
+KeypointExtractor bbox floor (z >= 8cm)."""
 import numpy as np
 
 from diffusion_edf_tpu.train.synthetic import (
+    GRIPPER_TCP,
     SPLITS,
     make_split_dataset,
     make_synthetic_demo,
     make_synthetic_dataset,
 )
+
+
+def _pose_apply(T, pts):
+    w, x, y, z = T[:4]
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return np.asarray(pts) @ R.T + T[4:]
+
+
+def test_pick_keypoints_land_at_grasp_contact():
+    """The pick model's static query keypoints ([+-0.5, +-0.5, 10.5] cm, hand
+    frame) must sit at the handle contact when posed by the target — the
+    finest tensor-field scale (5 cm) has to see scene geometry there."""
+    kps = np.array([[0.005, 0.005, 0.105], [-0.005, -0.005, 0.105]])
+    for seed in range(4):
+        demo = make_synthetic_demo(seed)[0]
+        kp_w = _pose_apply(demo.target_poses[0], kps)
+        d = np.linalg.norm(demo.scene_pcd.points[None] - kp_w[:, None], axis=-1).min(1)
+        assert d.max() < 0.02, f"seed {seed}: keypoint {d.max()*100:.1f}cm from scene"
+
+
+def test_pick_gripper_fingers_straddle_handle():
+    """Posed gripper fingertips nearly touch the scene mug (contact-point
+    sampling with contact_radius=2cm must find fingertip contacts)."""
+    for seed in range(3):
+        demo = make_synthetic_demo(seed)[0]
+        g_w = _pose_apply(demo.target_poses[0], demo.grasp_pcd.points)
+        d = np.linalg.norm(g_w[:, None] - demo.scene_pcd.points[None], axis=-1).min()
+        assert d < 0.01, f"seed {seed}: nearest gripper-scene gap {d*100:.1f}cm"
+
+
+def test_place_grasp_cloud_inside_query_bbox():
+    """The held mug must sit above the place KeypointExtractor bbox floor
+    (z >= 8cm hand frame) so the query is non-degenerate."""
+    for seed in range(3):
+        demo = make_synthetic_demo(seed)[1]
+        frac = (demo.grasp_pcd.points[:, 2] >= 0.08).mean()
+        assert frac > 0.5, f"seed {seed}: only {frac:.2f} of place grasp cloud in bbox"
+
+
+def test_place_target_hangs_mug_on_pole_and_orbit_is_symmetry():
+    """The posed place grasp cloud passes through the hang point, and stays
+    there under the recorded symmetry orbit (rotation about world z through
+    the center) — validating the eval orbit metric's conjugation."""
+    for seed in range(3):
+        demo = make_synthetic_demo(seed)[1]
+        assert demo.symmetry is not None and "center" in demo.symmetry
+        hang = np.asarray(demo.symmetry["center"])
+        H = demo.target_poses[0]
+        d0 = np.linalg.norm(_pose_apply(H, demo.grasp_pcd.points) - hang, axis=-1).min()
+        assert d0 < 0.01
+        th = 2.0
+        qz = np.array([np.cos(th / 2), 0, 0, np.sin(th / 2)])
+        w1, x1, y1, z1 = qz
+        w2, x2, y2, z2 = H[:4]
+        q2 = np.array([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ])
+        c, s = np.cos(th), np.sin(th)
+        dv = H[4:] - hang
+        t2 = hang + np.array([c * dv[0] - s * dv[1], s * dv[0] + c * dv[1], dv[2]])
+        H2 = np.concatenate([q2, t2])
+        d1 = np.linalg.norm(_pose_apply(H2, demo.grasp_pcd.points) - hang, axis=-1).min()
+        assert d1 < 0.01
+
+
+def test_symmetry_center_rescales_with_preprocess():
+    from diffusion_edf_tpu.train.data import compose_proc_fn
+
+    demo = make_synthetic_demo(1)[1]
+    proc = compose_proc_fn([dict(name="rescale", kwargs=dict(rescale_factor=100.0))])
+    out = proc(demo)
+    np.testing.assert_allclose(
+        np.asarray(out.symmetry["center"]),
+        np.asarray(demo.symmetry["center"]) * 100.0,
+        rtol=1e-6,
+    )
 
 
 def test_default_split_matches_training_distribution():
@@ -39,13 +130,12 @@ def test_distractor_split_adds_clutter():
 def test_unseen_instance_shape_differs_but_target_tracks_handle():
     seq = make_split_dataset("unseen_instances", n_demos=1, seed=9)[0]
     demo = seq[0]
-    # the grasp frame origin is the handle: nearest grasp point ~the handle
-    # cylinder radius away from origin
+    # the grasp frame is the hand base: the wrist cylinder starts at z=0
     r = np.linalg.norm(demo.grasp_pcd.points, axis=-1).min()
     assert r < 0.03
-    # pick target still lands on the scene mug (some scene point within 2cm)
-    t = demo.target_poses[0, 4:]
-    d = np.linalg.norm(demo.scene_pcd.points - t, axis=-1).min()
+    # posed TCP still lands on the scene mug handle (scene point within 2cm)
+    tcp = _pose_apply(demo.target_poses[0], GRIPPER_TCP[None])[0]
+    d = np.linalg.norm(demo.scene_pcd.points - tcp, axis=-1).min()
     assert d < 0.02
 
 

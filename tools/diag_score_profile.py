@@ -1,0 +1,103 @@
+"""Per-noise-level (t) score-quality profile of a trained checkpoint.
+
+VERDICT round-1 item #1 diagnostics: the aggregate training stats average
+alignment over whole time-schedule brackets, hiding WHERE the fit fails.
+This tool sweeps a t grid and reports, per t, the normalized alignment and
+norm ratio of predicted vs analytic-target scores, separately for the
+angular and linear branches, on clean (eval-distribution) scenes.
+
+Run (CPU, so a live TPU training run is untouched)::
+
+    JAX_PLATFORMS=cpu python tools/diag_score_profile.py \
+        --checkpoint runs/pick_r2/checkpoint/3300 [--out reports/score_profile.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T_GRID = [0.01, 0.02, 0.05, 0.1, 0.15, 0.3, 0.5, 1.0]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--task-type", default="pick")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-demos", type=int, default=5)
+    p.add_argument("--n-xref", type=int, default=10)
+    p.add_argument("--n-reps", type=int, default=4, help="independent diffusion draws per (demo, t)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="reports/score_profile.json")
+    args = p.parse_args()
+
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from diffusion_edf_tpu.diffusion.diffuse import biequiv_diffusion
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_dataset
+    from diffusion_edf_tpu.train.trainer import DiffusionEdfTrainer
+
+    tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir="/tmp/diag_profile")
+    demos = make_synthetic_dataset(n_demos=args.n_demos, seed=args.seed)
+    tr.init(demos, jax.random.PRNGKey(0))
+    tr.restore(args.checkpoint)
+    print(f"restored {args.checkpoint} at epoch {tr.epoch}", flush=True)
+
+    model, ang_mult, lin_mult = tr.model, tr.ang_mult, tr.lin_mult
+    contact_radius, n_xref = tr.contact_radius, args.n_xref
+
+    def profile_fn(params, key, scene, grasp, T_target, t):
+        T_d, _, t_in, (ga, gl), _ = biequiv_diffusion(
+            key, T_target, t, scene, grasp,
+            ang_mult=ang_mult, lin_mult=lin_mult, n_samples_x_ref=n_xref,
+            contact_radius=contact_radius,
+        )
+        ang, lin = model.apply(params, T_d, scene, grasp, t_in, deterministic=True)
+        sq = jnp.sqrt(t_in)[..., None]
+        tgt_a = ga * sq * ang_mult
+        tgt_l = gl * sq * lin_mult
+
+        def stats(pred, tgt):
+            pn = jnp.linalg.norm(pred + 1e-20, axis=-1)
+            tn = jnp.linalg.norm(tgt + 1e-20, axis=-1)
+            dp = jnp.sum(pred * tgt, axis=-1)
+            return jnp.mean(dp / (pn * tn + 1e-12)), jnp.mean(pn) / (jnp.mean(tn) + 1e-12)
+
+        aa, ar = stats(ang, tgt_a)
+        la, lr = stats(lin, tgt_l)
+        return jnp.stack([aa, ar, la, lr])
+
+    profile_jit = jax.jit(profile_fn)
+
+    key = jax.random.PRNGKey(args.seed + 7)
+    rows = []
+    for t in T_GRID:
+        acc = []
+        for di, (scene, grasp, T) in enumerate(tr._batches):
+            for _ in range(args.n_reps):
+                key, sub = jax.random.split(key)
+                acc.append(np.asarray(profile_jit(tr.params, sub, scene, grasp, T, jnp.float32(t))))
+        m = np.mean(acc, 0)
+        row = dict(t=t, ang_align=float(m[0]), ang_norm_ratio=float(m[1]),
+                   lin_align=float(m[2]), lin_norm_ratio=float(m[3]))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(dict(checkpoint=args.checkpoint, epoch=tr.epoch, rows=rows), f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
