@@ -11,9 +11,8 @@ stochastic preprocess pipeline per draw (reference ``trainer.py:93-121``);
 the TPU whole-epoch-scan design instead moves the stochasticity on device,
 inside the jitted train step:
 
-* independent random SO(3) frames for scene and grasp (exercises the exact
-  bi-equivariance of the architecture: the target transports as
-  ``T' = A_s * T * A_g^-1``),
+* a random SO(3) frame for the scene (an exact symmetry of the
+  architecture — the target transports as ``T' = A_s * T * A_g^-1``),
 * Gaussian point jitter (approximates voxel-grid resampling noise),
 * random point dropout via the validity mask,
 * color jitter.
@@ -40,10 +39,22 @@ class AugmentConfig(NamedTuple):
     ``jitter_std=0.25`` is a quarter of the 1 cm training voxel; ``point_keep``
     is the per-point Bernoulli keep probability applied to the validity mask.
     Set a field falsy to disable that augmentation.
+
+    ``rotate_grasp`` defaults OFF and must stay off for the standard model
+    families: the score models anchor their queries in the GRASP FRAME as
+    compile-time constants (``StaticKeypointModel.keypoint_coords`` — the TCP
+    at z=10.5 cm — and the place ``KeypointExtractor`` bbox z in [8,100] cm).
+    A grasp-frame rotation is therefore NOT a symmetry of model+task: rotating
+    the grasp cloud detaches the gripper from its query anchors, putting the
+    query keypoints at a random location relative to the fingers every step
+    (the round-2 rotation-collapse root cause — training align_ang plateaued
+    ~0.6 while eval rotation stayed at chance).  ``rotate_scene`` by contrast
+    IS an exact architecture symmetry and stays on as a numerical-equivariance
+    exercise.
     """
 
     rotate_scene: bool = True
-    rotate_grasp: bool = True
+    rotate_grasp: bool = False
     jitter_std: float = 0.25
     point_keep: float = 0.95
     color_std: float = 0.02

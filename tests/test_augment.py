@@ -75,6 +75,43 @@ def test_jitter_and_dropout_and_color():
     assert float(s2.f.min()) >= 0.0 and float(s2.f.max()) <= 1.0
 
 
+def test_rotate_grasp_defaults_off_and_keeps_query_anchors_valid():
+    """Regression for the round-2 rotation collapse: the score models anchor
+    their queries in the grasp frame as compile-time constants (static TCP
+    keypoints at z=10.5 cm; place KeypointExtractor bbox z in [8,100] cm), so
+    grasp-frame rotation is NOT a model symmetry — rotating the grasp cloud
+    detaches the gripper from its anchors.  Defaults must keep the gripper
+    where the anchors expect it; rotate_grasp=True demonstrably breaks it."""
+    from diffusion_edf_tpu.train.synthetic import GRIPPER_TCP, make_synthetic_demo
+
+    assert AugmentConfig().rotate_grasp is False
+    assert AugmentConfig.from_dict({}).rotate_grasp is False
+
+    demo = make_synthetic_demo(0)[0]
+    tcp_cm = np.asarray(GRIPPER_TCP * 100.0)
+    # append the physical TCP as a tracer point so we can read off where the
+    # augmentation moved it relative to the static anchor
+    pts_cm = jnp.asarray(
+        np.concatenate([demo.grasp_pcd.points * 100.0, tcp_cm[None]], axis=0)
+    )
+    n = pts_cm.shape[0]
+    grasp = FeaturedPoints(x=pts_cm, f=jnp.zeros((n, 3)), mask=jnp.ones((n,), bool))
+    scene = _cloud(jax.random.PRNGKey(11), 64, 64)
+    T = jnp.asarray([[1.0, 0, 0, 0, 0.0, 0.0, 0.0]])
+
+    def tcp_drift(cfg, seed):
+        _, g2, _ = augment_batch(jax.random.PRNGKey(seed), scene, grasp, T, cfg)
+        return float(jnp.linalg.norm(g2.x[-1] - jnp.asarray(tcp_cm)))
+
+    # defaults: the TCP stays at the anchor (only jitter moves it, <~1 cm)
+    assert tcp_drift(AugmentConfig(), 12) < 1.5
+
+    # grasp rotation: the physical TCP swings away from the static anchor
+    cfg_rot = AugmentConfig(rotate_scene=False, rotate_grasp=True, jitter_std=0.0, point_keep=1.0, color_std=0.0)
+    drifts = [tcp_drift(cfg_rot, 100 + i) for i in range(8)]
+    assert max(drifts) > 4.0, drifts
+
+
 def test_from_dict_rejects_unknown_keys():
     with pytest.raises(ValueError):
         AugmentConfig.from_dict({"jitter": 1.0})
