@@ -18,7 +18,34 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["pose_errors", "evaluate_agent", "main"]
+__all__ = ["pose_errors", "reference_inference_config", "evaluate_agent", "main"]
+
+
+def reference_inference_config(n_stages: int = 1) -> Dict:
+    """The reference's full inference recipe (``configs/panda_mug/server.yaml``):
+    900 Langevin steps over five t-brackets from t=1.0 down to t=0.012, ending
+    in a temperature-0 quench (pure score ascent) that collapses samples into
+    their nearest mode.  The reference splits the brackets over a two-model
+    cascade (lowres: first two brackets, highres: last three); with a
+    single-model agent (``n_stages=1``) all five brackets run on that model."""
+    steps = [200, 200, 200, 200, 100]
+    dts = [0.04, 0.04, 0.02, 0.02, 0.01]
+    temps = [1.0, 1.0, 1.0, 1.0, 0.0]
+    scheds = [[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012], [0.012, 0.012]]
+    if n_stages == 2:
+        split = ([steps[:2], steps[2:]], [dts[:2], dts[2:]], [temps[:2], temps[2:]], [scheds[:2], scheds[2:]])
+    else:
+        assert n_stages == 1, n_stages
+        split = ([steps], [dts], [temps], [scheds])
+    return dict(
+        N_steps_list=split[0],
+        timesteps_list=split[1],
+        temperatures_list=split[2],
+        diffusion_schedules_list=split[3],
+        log_t_schedule=True,
+        time_exponent_temp=1.0,
+        time_exponent_alpha=0.5,
+    )
 
 
 def pose_errors(samples: np.ndarray, targets: np.ndarray) -> Dict[str, np.ndarray]:
@@ -105,14 +132,8 @@ def evaluate_agent(
     step_idx = 0 if task_type == "pick" else 1
     if symmetry_orbit is None:
         symmetry_orbit = 72 if task_type == "place" else 0
-    cfg = diffusion_configs or dict(
-        N_steps_list=[[150, 150]],
-        timesteps_list=[[0.04, 0.02]],
-        temperatures_list=[[1.0, 0.3]],
-        diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.01]]],
-        log_t_schedule=True,
-        time_exponent_temp=1.0,
-        time_exponent_alpha=0.5,
+    cfg = diffusion_configs or reference_inference_config(
+        n_stages=2 if len(getattr(agent, "models", [None])) >= 2 else 1
     )
     rng = np.random.default_rng(seed)
     all_trans, all_rot = [], []

@@ -1,0 +1,119 @@
+"""Check for the parallel-jaw 180-degree flip mode in pick samples.
+
+A two-finger gripper rotated pi about its approach (hand-z) axis grasps the
+handle with the fingers swapped -- geometrically an equally valid grasp.  If
+the trained score field learns both modes, per-sample rotation errors against
+the single demo target cluster at ~0 and ~180 deg and the median sits near
+90-180 even though every sample is a good grasp.  This tool prints the
+per-sample error against the target AND against the flipped target
+(T o Rz(pi), grasp frame) to expose the bimodality.
+
+Run (CPU; leaves a live TPU run untouched):
+    JAX_PLATFORMS=cpu python tools/diag_flip.py --checkpoint runs/pick_r2c/checkpoint/600
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-demos", type=int, default=3)
+    p.add_argument("--n-seeds", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle
+    from diffusion_edf_tpu.eval import pose_errors
+    from diffusion_edf_tpu.train.data import TargetPoseDemo
+    from diffusion_edf_tpu.train.synthetic import make_split_dataset
+    from diffusion_edf_tpu.train.trainer import DiffusionEdfTrainer
+
+    demos = make_split_dataset("default", n_demos=args.n_demos, seed=args.seed + 1000)
+    tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir="/tmp/diag_flip")
+    tr.init(demos, jax.random.PRNGKey(0))
+    tr.restore(args.checkpoint)
+    print(f"restored {args.checkpoint} at epoch {tr.epoch}", flush=True)
+
+    bundle = ModelBundle(
+        model=tr.model, params=tr.params, ang_mult=tr.ang_mult, lin_mult=tr.lin_mult,
+        n_scene_pad=tr.n_scene_pad, n_grasp_pad=tr.n_grasp_pad, name="diag",
+    )
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    agent = DiffusionEdfAgent([bundle], preprocess, [dict(name="rescale", kwargs=dict(rescale_factor=0.01))])
+
+    rng = np.random.default_rng(args.seed)
+    flip = np.array([0.0, 0.0, 0.0, 1.0, 0, 0, 0])  # Rz(pi) grasp-frame
+
+    def se3_mul(a, b):
+        w1, x1, y1, z1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        w2, x2, y2, z2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        q = np.stack([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ], -1)
+        # rotate b's translation by a, add a's
+        t = a[..., 4:] + _qapply(a[..., :4], b[..., 4:])
+        return np.concatenate([q, t], -1)
+
+    def _qapply(q, v):
+        w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        u = np.stack([x, y, z], -1)
+        uv = np.cross(u, v)
+        uuv = np.cross(u, uv)
+        return v + 2 * (w[..., None] * uv + uuv)
+
+    for di, seq in enumerate(demos):
+        demo = seq[0]
+        center = demo.scene_pcd.points.mean(0)
+        spread = demo.scene_pcd.points.std(0).mean() + 0.05
+        q = rng.normal(size=(args.n_seeds, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        t = center + rng.normal(scale=spread, size=(args.n_seeds, 3))
+        Ts_init = np.concatenate([q, t], axis=-1)
+        traj, _, _, _ = agent.sample(
+            demo.scene_pcd, demo.grasp_pcd, Ts_init,
+            key=jax.random.PRNGKey(args.seed + di), record_trajectory=False,
+            # reference server.yaml inference recipe (900 steps, final
+            # temperature-0 quench), merged into one stage for a single model
+            N_steps_list=[[200, 200, 200, 200, 100]],
+            timesteps_list=[[0.04, 0.04, 0.02, 0.02, 0.01]],
+            temperatures_list=[[1.0, 1.0, 1.0, 1.0, 0.0]],
+            diffusion_schedules_list=[[[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012], [0.012, 0.012]]],
+            log_t_schedule=True, time_exponent_temp=1.0, time_exponent_alpha=0.5,
+        )
+        final = np.asarray(traj[-1])
+        tgt = agent.proc_fn(TargetPoseDemo(
+            scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd, target_poses=demo.target_poses,
+        )).target_poses
+        tgt_flip = se3_mul(tgt, flip[None])
+        e0 = pose_errors(final, tgt)
+        e1 = pose_errors(final, tgt_flip)
+        rows = np.stack([e0["rot_err_deg"], e1["rot_err_deg"],
+                         e0["trans_err"], e1["trans_err"]], -1)
+        print(f"demo {di}: rot_vs_target | rot_vs_flip | trans | trans_flip")
+        for r in rows:
+            print(f"   {r[0]:7.1f} {r[1]:7.1f} {r[2]:7.2f} {r[3]:7.2f}", flush=True)
+        both = np.minimum(e0["rot_err_deg"], e1["rot_err_deg"])
+        print(f"  median vs single target: {np.median(e0['rot_err_deg']):.1f} deg; "
+              f"vs flip orbit: {np.median(both):.1f} deg", flush=True)
+
+
+if __name__ == "__main__":
+    main()
