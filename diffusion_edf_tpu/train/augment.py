@@ -42,15 +42,20 @@ class AugmentConfig(NamedTuple):
 
     ``rotate_grasp`` defaults OFF and must stay off for the standard model
     families: the score models anchor their queries in the GRASP FRAME as
-    compile-time constants (``StaticKeypointModel.keypoint_coords`` — the TCP
-    at z=10.5 cm — and the place ``KeypointExtractor`` bbox z in [8,100] cm).
-    A grasp-frame rotation is therefore NOT a symmetry of model+task: rotating
-    the grasp cloud detaches the gripper from its query anchors, putting the
-    query keypoints at a random location relative to the fingers every step
-    (the round-2 rotation-collapse root cause — training align_ang plateaued
-    ~0.6 while eval rotation stayed at chance).  ``rotate_scene`` by contrast
-    IS an exact architecture symmetry and stays on as a numerical-equivariance
-    exercise.
+    compile-time constants that do NOT co-transform with the grasp cloud
+    (``StaticKeypointModel.keypoint_coords`` — learned features at the TCP,
+    the grasp cloud itself is never read — and the place
+    ``KeypointExtractor`` bbox z in [8,100] cm).  A grasp-frame rotation is
+    therefore NOT a symmetry of the model family, and augmenting with it is
+    destructive (the round-2 rotation-collapse root cause): for pick, the
+    model cannot observe ``A_g`` at all, so the demo pose smears into the
+    full SO(3) right-orbit ``T o A_g^-1`` of "equally correct" targets and
+    the marginal angular score collapses to ~0 (observed: translation
+    converged to the TCP-lever-arm floor while eval rotation stayed at
+    chance); for place, the held object additionally leaves the static query
+    bbox.  ``rotate_scene`` by contrast IS an exact architecture symmetry
+    (verified: left-action outputs match to ~1e-3 of a 0.14 output scale)
+    and stays on as a numerical-equivariance exercise.
     """
 
     rotate_scene: bool = True
