@@ -23,6 +23,23 @@ Design notes:
 
 Everything is deterministic (no dropout) — the fused core is the inference
 path; training falls back to the module pipeline.
+
+Real-TPU measurements (v5e, Nd=512, K=48, reference irreps; see
+``reports/fused_attention_tpu.json``):
+
+* module pipeline 85 us — XLA already fuses the edge pipeline well;
+* this single-function XLA core 3050 us (the flat (N, mul1*Q)/expander-matrix
+  formulation trades fusion for materialized expansions — do NOT default it);
+* the Pallas kernel does not compile on Mosaic: the (N, mul1*Q) ->
+  (N, mul1, Q) minor-dim reshapes in :func:`_dtp_sh_2d` are unsupported
+  vector shape casts (a Mosaic layout restriction, independent of this
+  environment's remote-compile path).  Making the kernel Mosaic-legal means
+  replacing every minor-dim reshape/slice with constant 0/1-matrix matmuls
+  (selection + segment-softmax on the MXU); FLOP accounting of that fully-2D
+  formulation at reference model widths lands its speed-of-light at the
+  ~85 us XLA already achieves, so the rewrite only pays off for much wider
+  irreps.  Status: 'xla'/'pallas' modes stay flag-gated with interpret-mode
+  equality tests; the module pipeline is the production default.
 """
 from __future__ import annotations
 
