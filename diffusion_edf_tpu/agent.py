@@ -23,7 +23,35 @@ from .train.data import PointCloud, compose_proc_fn, pad_pointcloud
 from .train.factory import build_score_model
 from .train.trainer import load_configs
 
-__all__ = ["ModelBundle", "DiffusionEdfAgent", "load_model_bundle"]
+__all__ = ["ModelBundle", "DiffusionEdfAgent", "load_model_bundle", "load_params_npz"]
+
+
+def load_params_npz(path: str, target_params):
+    """Load a flat ``a/b/c``-keyed ``.npz`` of weights (written by
+    ``tools/export_params.py`` or ``tools/import_torch.py``) onto the
+    structure of ``target_params`` (an initialized param tree).  Keys and leaf
+    shapes must match exactly; dtype follows the target leaf (shipped
+    artifacts may be stored f16 to halve size)."""
+    import jax.tree_util as jtu
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files if not k.startswith("__")}
+    leaves, treedef = jtu.tree_flatten_with_path(target_params)
+    out = []
+    seen = set()
+    for keypath, leaf in leaves:
+        k = "/".join(getattr(p, "key", str(p)) for p in keypath)
+        if k not in flat:
+            raise KeyError(f"checkpoint {path} missing param {k!r}")
+        arr = flat[k]
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(f"shape mismatch for {k!r}: ckpt {arr.shape} vs model {leaf.shape}")
+        out.append(jnp.asarray(arr, dtype=leaf.dtype))
+        seen.add(k)
+    extra = sorted(set(flat) - seen)
+    if extra:
+        raise KeyError(f"checkpoint {path} has {len(extra)} unknown params, e.g. {extra[:3]}")
+    return jtu.tree_unflatten(jtu.tree_structure(target_params), out)
 
 
 @dataclasses.dataclass
@@ -63,13 +91,18 @@ def load_model_bundle(
     Ts = jnp.concatenate([jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1)), jnp.zeros((2, 3))], -1)
     params = jax.jit(model.init)(jax.random.PRNGKey(init_seed), Ts, scene, grasp, jnp.full((2,), 0.5))
     if checkpoint_dir is not None:
-        import orbax.checkpoint as ocp
+        if str(checkpoint_dir).endswith(".npz"):
+            # flat ``a/b/c``-keyed npz (tools/export_params.py output, or a
+            # torch checkpoint converted by tools/import_torch.py)
+            params = load_params_npz(checkpoint_dir, params)
+        else:
+            import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
-        # restore without a target: accepts both trainer checkpoints
-        # ({params, opt_state, meta}) and bare-params checkpoints
-        restored = ckptr.restore(os.path.abspath(checkpoint_dir))
-        params = restored.get("params", restored)
+            ckptr = ocp.StandardCheckpointer()
+            # restore without a target: accepts both trainer checkpoints
+            # ({params, opt_state, meta}) and bare-params checkpoints
+            restored = ckptr.restore(os.path.abspath(checkpoint_dir))
+            params = restored.get("params", restored)
     return ModelBundle(
         model=model,
         params=params,

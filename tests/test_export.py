@@ -1,0 +1,80 @@
+"""npz weight artifacts: tools/export_params.py flatten <-> agent.load_params_npz."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diffusion_edf_tpu.agent import load_params_npz
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from export_params import flatten  # noqa: E402
+
+
+def _tree():
+    return {
+        "params": {
+            "dense": {"kernel": jnp.arange(6.0).reshape(2, 3), "bias": jnp.zeros(3)},
+            "block": {"scale": jnp.asarray([1.5, -2.0])},
+        }
+    }
+
+
+def test_roundtrip(tmp_path):
+    tree = _tree()
+    path = tmp_path / "w.npz"
+    np.savez_compressed(path, **flatten(tree))
+    target = jnp.zeros_like  # structure donor: same tree, zeroed leaves
+    import jax
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = load_params_npz(str(path), zeros)
+    chex = jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(a, b), out, tree)
+    del chex, target
+
+
+def test_f16_storage_casts_to_target_dtype(tmp_path):
+    tree = _tree()
+    flat = {k: v.astype(np.float16) for k, v in flatten(tree).items()}
+    path = tmp_path / "w16.npz"
+    np.savez_compressed(path, **flat)
+    import jax
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = load_params_npz(str(path), zeros)
+    assert out["params"]["dense"]["kernel"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["dense"]["kernel"]),
+        np.asarray(tree["params"]["dense"]["kernel"]),
+        atol=1e-2,
+    )
+
+
+def test_missing_and_unknown_keys_error(tmp_path):
+    tree = _tree()
+    flat = flatten(tree)
+    import jax
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+    bad = dict(flat)
+    del bad["params/dense/bias"]
+    p1 = tmp_path / "missing.npz"
+    np.savez_compressed(p1, **bad)
+    with pytest.raises(KeyError):
+        load_params_npz(str(p1), zeros)
+
+    extra = dict(flat)
+    extra["params/ghost"] = np.zeros(2)
+    p2 = tmp_path / "extra.npz"
+    np.savez_compressed(p2, **extra)
+    with pytest.raises(KeyError):
+        load_params_npz(str(p2), zeros)
+
+    wrong = dict(flat)
+    wrong["params/dense/bias"] = np.zeros(4)
+    p3 = tmp_path / "shape.npz"
+    np.savez_compressed(p3, **wrong)
+    with pytest.raises(ValueError):
+        load_params_npz(str(p3), zeros)

@@ -1,0 +1,64 @@
+"""Export trained weights from an orbax trainer checkpoint to a small,
+committable ``.npz`` artifact (flat ``a/b/c`` flax path keys — the same format
+``tools/import_torch.py`` emits and ``agent.load_params_npz`` consumes).
+
+The reference ships trained ``.pt`` checkpoints per task
+(``checkpoints/real_mug/*.pt``, loaded by ``agent.py:21-64``); this is the
+equivalent shipping mechanism for this framework.  ``--f16`` halves the file
+size (weights round-trip through float16; score-model weights tolerate it —
+verify with eval before shipping).
+
+Run::
+
+    python tools/export_params.py runs/pick_r2d/checkpoint/3000 \
+        --out checkpoints/panda_mug/pick_lowres.npz --f16
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint", help="orbax checkpoint dir (trainer save())")
+    p.add_argument("--out", required=True)
+    p.add_argument("--f16", action="store_true", help="store float16 (halves size)")
+    p.add_argument("--meta", default=None, help="JSON string of provenance metadata")
+    args = p.parse_args()
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
+    params = restored.get("params", restored)
+    flat = flatten(params)
+    if args.f16:
+        flat = {k: v.astype(np.float16) if v.dtype == np.float32 else v for k, v in flat.items()}
+    if args.meta:
+        flat["__meta__"] = np.frombuffer(json.dumps(json.loads(args.meta)).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez_compressed(args.out, **flat)
+    n = sum(v.size for k, v in flat.items() if not k.startswith("__"))
+    print(f"wrote {args.out}: {len(flat)} arrays, {n:,} params, "
+          f"{os.path.getsize(args.out)/1e6:.2f} MB")
+
+
+if __name__ == "__main__":
+    main()
