@@ -137,6 +137,7 @@ def evaluate_agent(
     )
     rng = np.random.default_rng(seed)
     all_trans, all_rot = [], []
+    exec_trans, exec_rot = [], []  # critic-ranked sample 0 = the pose a robot executes
     per_demo = []
     for di, seq in enumerate(demos):
         demo = seq[step_idx]
@@ -169,6 +170,11 @@ def evaluate_agent(
         errs = pose_errors(final, target_proc)
         all_trans.append(errs["trans_err"])
         all_rot.append(errs["rot_err_deg"])
+        if "energy" in info:
+            # agent.sample returns samples sorted by ascending critic energy,
+            # so index 0 is the executed pick (reference agent cascade)
+            exec_trans.append(errs["trans_err"][0])
+            exec_rot.append(errs["rot_err_deg"][0])
         per_demo.append(
             {
                 "demo": getattr(demo, "name", str(di)),
@@ -191,6 +197,20 @@ def evaluate_agent(
             np.mean([d["best_trans_err_cm"] <= success_trans_cm and d["best_rot_err_deg"] <= success_rot_deg for d in per_demo])
         ),
         "per_demo": per_demo,
+        **(
+            {
+                "executed_trans_err_cm_median": float(np.median(exec_trans)),
+                "executed_rot_err_deg_median": float(np.median(exec_rot)),
+                "executed_success_rate": float(
+                    np.mean(
+                        (np.asarray(exec_trans) <= success_trans_cm)
+                        & (np.asarray(exec_rot) <= success_rot_deg)
+                    )
+                ),
+            }
+            if exec_trans
+            else {}
+        ),
     }
 
 
@@ -206,6 +226,9 @@ def main(argv=None):
                    help="evaluate generalization splits (default: plain eval); "
                         "no value = all of default/unseen_poses/distractors/unseen_instances")
     p.add_argument("--n-scene-pad", type=int, default=2048)
+    p.add_argument("--critic-configs-root-dir", default=None,
+                   help="EBM critic config family; enables energy-ranked executed-sample metrics")
+    p.add_argument("--critic-checkpoint-dir", default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -215,12 +238,19 @@ def main(argv=None):
     bundle = load_model_bundle(
         args.configs_root_dir, checkpoint_dir=args.checkpoint_dir, n_scene_pad=args.n_scene_pad
     )
+    critic = None
+    if args.critic_configs_root_dir:
+        critic = load_model_bundle(
+            args.critic_configs_root_dir,
+            checkpoint_dir=args.critic_checkpoint_dir,
+            n_scene_pad=args.n_scene_pad,
+        )
     preprocess = [
         dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
         dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
     ]
     unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
-    agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
+    agent = DiffusionEdfAgent([bundle], preprocess, unprocess, critic=critic)
     if args.splits is not None:
         split_names = args.splits or list(SPLITS)
         report = {}

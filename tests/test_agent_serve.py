@@ -280,3 +280,43 @@ def test_symmetry_orbit_metric():
     sym = pose_errors(sample, orbit)
     assert sym["rot_err_deg"][0] < 5.0 + 1e-6
     assert sym["trans_err"][0] < 1e-9
+
+
+def test_executed_sample_metrics_with_fake_critic_agent():
+    """evaluate_agent reports executed_* metrics from critic-energy-ranked
+    sample 0 when the agent returns an ``energy`` info key."""
+    from diffusion_edf_tpu.eval import evaluate_agent
+    from diffusion_edf_tpu.train.data import PointCloud, TargetPoseDemo
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_demo
+
+    demo_seq = [make_synthetic_demo(0)]
+
+    class FakeAgent:
+        models = [None]
+
+        def __init__(self):
+            from diffusion_edf_tpu.train.data import compose_proc_fn
+
+            self.proc_fn = compose_proc_fn(
+                [dict(name="rescale", kwargs=dict(rescale_factor=100.0))]
+            )
+
+        def sample(self, scene_pcd, grasp_pcd, Ts_init, key=None, record_trajectory=False, **cfg):
+            tgt = self.proc_fn(
+                TargetPoseDemo(
+                    scene_pcd=scene_pcd, grasp_pcd=grasp_pcd,
+                    target_poses=demo_seq[0][0].target_poses,
+                )
+            ).target_poses[0]
+            n = len(Ts_init)
+            finals = np.tile(tgt, (n, 1))
+            # sample 0 = exact target (best energy); the rest displaced 5 cm
+            finals[1:, 4] += 5.0
+            info = {"energy": np.arange(n, dtype=np.float32)}
+            return finals[None], scene_pcd, grasp_pcd, info
+
+    report = evaluate_agent(FakeAgent(), demo_seq, task_type="pick", n_seeds=4, seed=0)
+    assert report["executed_success_rate"] == 1.0
+    assert report["executed_trans_err_cm_median"] < 1e-6
+    # non-executed samples drag the plain median off target
+    assert report["trans_err_cm"]["median"] > 1.0
