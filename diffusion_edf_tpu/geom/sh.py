@@ -50,7 +50,10 @@ def spherical_harmonics(
     lmax = max(ls)
 
     if normalize:
-        norm = jnp.sqrt(jnp.sum(jnp.square(vec), axis=-1, keepdims=True) + eps)
+        # max() instead of +eps: below the floor the derivative path is cut,
+        # keeping ALL derivative orders finite at vec == 0 (the EBM score is a
+        # grad-of-grad through edge geometry; see models/edge.py).
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(vec), axis=-1, keepdims=True), eps))
         u = vec / norm
     else:
         u = vec

@@ -87,7 +87,16 @@ class _EncoderCore(nn.Module):
         length_enc: Optional[nn.Module],
     ) -> GraphEdges:
         vec = src_x[idx] - dst_x[:, None, :]  # (Nd, K, 3)
-        length = jnp.linalg.norm(vec + 1e-20, axis=-1)
+        # Floor the SQUARED length with max() rather than adding an eps to the
+        # vector: max() cuts the derivative path entirely below the floor, so
+        # every derivative order stays finite at vec == 0.  (EBM heads take
+        # grad-of-grad through edge geometry — `ebm_score` differentiates the
+        # energy w.r.t. pose and the train loss differentiates that score
+        # w.r.t. params; with norm(vec + 1e-20) an exactly-coincident
+        # query/key pair produced 1/length^2 ~ 1e40 = inf terms in f32 and
+        # NaN'd the whole gradient.  Floor 1e-12 cm^2 = 1e-6 cm, far below
+        # any physical edge length.)
+        length = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(vec), axis=-1), 1e-12))
 
         edge_cutoff = None
         log_cutoff = None

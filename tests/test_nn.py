@@ -194,3 +194,30 @@ class TestEquiformerBlock:
         edges_pad = enc.apply(enc_params, src_pad, dst)
         out_pad = block.apply(block_params, src_pad, dst, edges_pad)
         np.testing.assert_allclose(np.asarray(out_pad.f), np.asarray(out.f), atol=1e-5)
+
+    def test_second_order_grads_finite_at_coincident_points(self):
+        """EBM regression: grad-of-grad through edge geometry must stay finite
+        when a dst point sits EXACTLY on a src point (vec == 0).
+
+        ``ebm_score`` differentiates the energy w.r.t. pose (through edge
+        vectors) and the train loss differentiates that score w.r.t. params;
+        with ``norm(vec + 1e-20)`` an exactly-coincident pair produced
+        1/length^2 ~ 1e40 = inf in f32 and NaN'd every param gradient
+        (round-2 pick_ebm training collapse).
+        """
+        irreps, irreps_sh, src, dst, enc, block = self._make(n_src=16, n_dst=6, k=6)
+        dst = FeaturedPoints(x=dst.x.at[0].set(src.x[0]), f=dst.f, mask=dst.mask, w=dst.w)
+        enc_params = enc.init(jax.random.PRNGKey(9), src, dst)
+        edges0 = enc.apply(enc_params, src, dst)
+        block_params = block.init(jax.random.PRNGKey(10), src, dst, edges0)
+
+        def energy(dst_x):
+            d = FeaturedPoints(x=dst_x, f=dst.f, mask=dst.mask, w=dst.w)
+            edges = enc.apply(enc_params, src, d)
+            out = block.apply(block_params, src, d, edges)
+            return jnp.sum(jnp.square(out.f))
+
+        # inner grad w.r.t. geometry (the EBM score), outer grad of its norm
+        # (the train loss) — the exact double-backward pattern of ebm_score.
+        g2 = jax.jit(jax.grad(lambda x: jnp.sum(jnp.square(jax.grad(energy)(x)))))(dst.x)
+        assert bool(jnp.isfinite(g2).all())
