@@ -76,6 +76,7 @@ class _EncoderCore(nn.Module):
     sh_cutoff: bool
     fill_edge_weights: Optional[float]
     cutoff_eps: float = 1e-12
+    log_eps: float = 1e-6  # smooth floor for the log-cutoff logit (see below)
 
     @nn.compact
     def __call__(
@@ -94,16 +95,31 @@ class _EncoderCore(nn.Module):
         # energy w.r.t. pose and the train loss differentiates that score
         # w.r.t. params; with norm(vec + 1e-20) an exactly-coincident
         # query/key pair produced 1/length^2 ~ 1e40 = inf terms in f32 and
-        # NaN'd the whole gradient.  Floor 1e-12 cm^2 = 1e-6 cm, far below
-        # any physical edge length.)
-        length = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(vec), axis=-1), 1e-12))
+        # NaN'd the whole gradient.  Floor 1e-4 cm^2 = 0.01 cm: after 1 cm
+        # voxel downsampling no real edge is that short, so the forward is
+        # untouched, while higher-derivative intermediates (~1/length^k from
+        # the SH normalization chain) stay bounded instead of overflowing.)
+        length = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(vec), axis=-1), 1e-4))
 
         edge_cutoff = None
         log_cutoff = None
         if self.edge_cutoff_ranges is not None:
             edge_cutoff = soft_square_cutoff_2(length, self.edge_cutoff_ranges)
+            # Pre-attention logit: log(c + eps), NOT log(st_clamp(c)).  The
+            # cutoff vanishes cubically at the window boundary, so d log(c)/dr
+            # = c'/c ~ 3/(r_end - length) is unbounded for in-radius edges
+            # near the boundary.  In exact math the softmax's alpha ∝ c
+            # cancels it, but in f32 the 1/c, 1/c^2 intermediates overflow
+            # first — first-order gradients reached 1e5 and the EBM's
+            # grad-of-grad (ebm_score: energy -> pose -> params) squared them
+            # into inf -> NaN on most training batches.  The smooth eps floor
+            # bounds every derivative order (|dlog/dx| = O(eps^{-1/3}),
+            # |d2log/dx2| = O(eps^{-2/3})) and shifts in-window logits by
+            # ≤ eps/c — negligible for alpha-relevant edges (c ≳ 1e-3).
+            # (The reference's straight-through clamp, graph_parser.py:211-214,
+            # is single-backward-only safe; this is a deliberate departure.)
+            log_cutoff = jnp.log(edge_cutoff + self.log_eps)
             edge_cutoff = st_clamp_min(edge_cutoff, self.cutoff_eps)
-            log_cutoff = jnp.log(edge_cutoff)
         elif self.fill_edge_weights is not None:
             edge_cutoff = jnp.full_like(length, self.fill_edge_weights)
             log_cutoff = jnp.full_like(length, math.log(self.fill_edge_weights))
@@ -118,7 +134,11 @@ class _EncoderCore(nn.Module):
 
         attr = None
         if self.irreps_sh is not None:
-            attr = spherical_harmonics(Irreps(self.irreps_sh), vec)
+            # eps = 1e-4 cm^2: same 0.01 cm floor as `length` above — bounds
+            # the 1/norm^k intermediates of SH derivatives at short edges
+            # (l=2 second derivatives reach 1/norm^3) without changing any
+            # real edge's SH.
+            attr = spherical_harmonics(Irreps(self.irreps_sh), vec, eps=1e-4)
             attr = cutoff_sh(
                 Irreps(self.irreps_sh),
                 attr,

@@ -87,8 +87,11 @@ def _edges(
         tag=tag,
     )
     vec = src.x[idx] - dst.x[:, None, :]
-    length = jnp.linalg.norm(vec + 1e-20, axis=-1)
-    attr = spherical_harmonics(irreps_sh, vec)
+    # squared-length floor via max(): finite at vec == 0 in every derivative
+    # order and under TPU flush-to-zero; 0.01 cm floor is below any real
+    # post-voxelization edge (see models/edge.py::_EncoderCore)
+    length = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(vec), axis=-1), 1e-4))
+    attr = spherical_harmonics(irreps_sh, vec, eps=1e-4)
     return GraphEdges(idx=idx, mask=mask, length=length, attr=attr)
 
 

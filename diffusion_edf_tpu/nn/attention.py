@@ -185,7 +185,13 @@ class GraphAttention(nn.Module):
         m = jnp.maximum(jax.lax.stop_gradient(m), -0.5e30)
         ea = jnp.where(edge_mask[..., None], jnp.exp(log_alpha - m), 0.0)
         denom = jnp.sum(ea, axis=-2, keepdims=True)
-        alpha = ea / jnp.maximum(denom, 1e-30)  # (Nd, K, H)
+        # Floor 0.5, NOT a tiny eps: rows with >=1 valid edge have denom >= 1
+        # (the max-subtracted exponent contributes exp(0) = 1), so the floor
+        # only engages on all-masked rows (denom = 0 -> alpha = 0).  A tiny
+        # floor like 1e-30 NaNs gradients there: the division VJP forms
+        # 1/denom^2 = 1e60 (inf) or denom^2 = 1e-60 (flushes to 0 in f32),
+        # and the EBM's grad-of-grad hits it via 0 * inf.
+        alpha = ea / jnp.maximum(denom, 0.5)  # (Nd, K, H)
         if edge_post_attn is not None:
             alpha = alpha * edge_post_attn[..., None]
         if self.alpha_drop > 0.0 and not deterministic:

@@ -259,7 +259,9 @@ def core_math(
     m = jnp.maximum(jax.lax.stop_gradient(m), jnp.asarray(-0.5e30, dt))
     ea = jnp.where(mask[..., None], jnp.exp(logits - m), jnp.asarray(0.0, dt))
     denom = jnp.sum(ea, axis=-2, keepdims=True)
-    alpha = ea / jnp.maximum(denom, jnp.asarray(1e-30, dt))  # (B, K, H)
+    # floor 0.5: forward-identical (valid rows have denom >= 1) and keeps the
+    # division VJP finite on all-masked rows — see nn/attention.py.
+    alpha = ea / jnp.maximum(denom, jnp.asarray(0.5, dt))  # (B, K, H)
     if meta.use_post:
         alpha = alpha * post_attn[..., None]
     alphaE = alpha.reshape(N, meta.H) @ M_head  # (N, attn_dim)
