@@ -40,7 +40,16 @@ def load_params_npz(path: str, target_params):
     out = []
     seen = set()
     for keypath, leaf in leaves:
-        k = "/".join(getattr(p, "key", str(p)) for p in keypath)
+        # dict-only trees: a tuple/list leaf would stringify its SequenceKey
+        # as '[0]', which export_params.flatten can never produce — fail with
+        # a clear message instead of a confusing missing-key error (ADVICE r2)
+        bad = [p for p in keypath if not hasattr(p, "key")]
+        if bad:
+            raise TypeError(
+                f"load_params_npz supports dict-only param trees; keypath {keypath} "
+                f"contains non-dict entries {bad} (tuple/list in the param tree?)"
+            )
+        k = "/".join(p.key for p in keypath)
         if k not in flat:
             raise KeyError(f"checkpoint {path} missing param {k!r}")
         arr = flat[k]

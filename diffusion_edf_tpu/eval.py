@@ -166,6 +166,13 @@ def evaluate_agent(
         target_proc = demo_proc.target_poses
         if symmetry_orbit:
             sym = demo_proc.symmetry or {}
+            # the orbit is built about world z; a demo recording a different
+            # symmetry axis would silently be scored against the wrong orbit
+            # (ADVICE r2), so fail loudly instead
+            axis = sym.get("axis")
+            assert axis is None or np.allclose(axis, [0.0, 0.0, 1.0]), (
+                f"symmetry-orbit scoring only supports a world-z axis, got {axis}"
+            )
             target_proc = _symmetry_orbit(target_proc, symmetry_orbit, center=sym.get("center"))
         errs = pose_errors(final, target_proc)
         all_trans.append(errs["trans_err"])
@@ -240,6 +247,11 @@ def main(argv=None):
     )
     critic = None
     if args.critic_configs_root_dir:
+        # a randomly initialized critic would silently rank by noise and the
+        # executed_* metrics would be meaningless (ADVICE r2)
+        if not args.critic_checkpoint_dir:
+            p.error("--critic-configs-root-dir requires --critic-checkpoint-dir "
+                    "(refusing to rank with randomly initialized critic weights)")
         critic = load_model_bundle(
             args.critic_configs_root_dir,
             checkpoint_dir=args.critic_checkpoint_dir,

@@ -13,6 +13,15 @@ Continuity semantics preserved exactly:
   (``graph_parser.py:211-214``);
 * nonscalar SH components faded in below ``r_mincut_nonscalar_sh``
   (``graph_parser.py:119-125,171-198``).
+
+UNIT CONTRACT: these modules assume **centimeter-scaled** coordinates — demos
+are stored in meters and multiplied by ``rescale_factor: 100.0`` in the
+preprocess pipeline (``README.md:81-100``, SURVEY §0) before reaching any
+model.  The hardcoded 1e-4 squared-length floors below (= 0.01 cm, safely
+under the 1 cm voxel pitch) rely on this: feeding meter-unit clouds would
+clamp real ~1 cm edges to the floor and silently cut their gradients
+(ADVICE r2).  If a config family ever changes ``rescale_factor`` or the voxel
+size, derive the floor from those instead.
 """
 from __future__ import annotations
 

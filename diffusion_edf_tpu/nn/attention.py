@@ -19,11 +19,12 @@ from typing import List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geom.irreps import Irrep, Irreps, multiply_irreps, sort_irreps_even_first
 from .layers import GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
 from .radial import RadialProfile
-from .tp import dtp_instructions
+from .tp import cm_eligible, cm_input_perm, dtp_instructions, im_perm
 from .tp_modules import DepthwiseTP, SeparableFCTP
 from .util import smooth_leaky_relu, smooth_leaky_relu_norm
 
@@ -85,6 +86,12 @@ class GraphAttention(nn.Module):
     # default via env DIFFUSION_EDF_TPU_FUSED.  Inference-only (dropout
     # falls back to the module pipeline when not deterministic).
     fused_core: Optional[str] = None
+    # message lanes are in i-major order (nn/tp.py::im_perm of irreps_input):
+    # the producing linears emit it for free (IrrepsLinear output_perm) and
+    # the component-major DTP then reads contiguous lane slices, which keeps
+    # XLA from inserting batch-minor relayout copies on the gathered
+    # (Nd*K, F) message.
+    message_component_major: bool = False
 
     @nn.compact
     def __call__(
@@ -112,6 +119,13 @@ class GraphAttention(nn.Module):
         mul_alpha_head = mul_alpha // H
         assert mul_alpha_head * H == mul_alpha
 
+        # Layout discipline (see nn/tp.py layout note): every edge-level
+        # tensor is a flat (Nd*K, wide-F) 2-D row tensor (row-major, reshapes
+        # to/from (Nd, K, F) are free bitcasts) or (Nd, H, K) — never a 4-D
+        # (Nd, K, small, small) shape whose padded TPU tiles dominated the r2
+        # step time.
+        nd, nk = message.shape[:2]
+
         # --- first DTP with radial weights (sep_act.dtp / dtp_rad) ---
         dtp1 = DepthwiseTP(
             irreps_in=irreps_input,
@@ -120,8 +134,8 @@ class GraphAttention(nn.Module):
             internal_weights=False,
             name="sep_act_dtp",
         )
-        w = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad")(
-            edge_scalars
+        w2 = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad")(
+            edge_scalars.reshape(nd * nk, -1)
         )
 
         import os
@@ -129,42 +143,66 @@ class GraphAttention(nn.Module):
         fused = self.fused_core or os.environ.get("DIFFUSION_EDF_TPU_FUSED") or None
         drop_active = self.alpha_drop > 0.0 and not deterministic
         if fused in ("xla", "pallas", "pallas_interpret") and not drop_active:
+            msg_can = message
+            if self.message_component_major:
+                inv = np.argsort(np.asarray(im_perm(irreps_input)))
+                msg_can = jnp.take(message, jnp.asarray(inv), axis=-1)
             return self._fused_path(
-                fused, dtp1, w, message, edge_attr, edge_mask,
+                fused, dtp1, w2.reshape(nd, nk, -1), msg_can, edge_attr, edge_mask,
                 edge_pre_attn_logit, edge_post_attn,
                 irreps_mid, irreps_edge, irreps_out, irreps_head, irreps_attn,
                 H, mul_alpha, mul_alpha_head, deterministic,
             )
 
-        mid = dtp1(message, edge_attr, w)  # (Nd, K, F_dtp)
+        cm = cm_eligible(dtp1.program)
+        msg2 = message.reshape(nd * nk, -1)
+        attr2 = edge_attr.reshape(nd * nk, -1)
+        mid = dtp1(
+            msg2, attr2, w2, component_major=cm,
+            x_component_major=self.message_component_major,
+        )  # (Nd*K, F_dtp)
 
         # --- alpha + value linears merged into ONE matmul on the DTP output
         # (the reference's sep_alpha and sep_act.lin read the same tensor,
-        # ``graph_attention.py:233-235``) ---
+        # ``graph_attention.py:233-235``); the value part is emitted i-major
+        # so the second DTP reads it contiguously ---
         s, g, t = irreps2gate(irreps_mid)
         val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
+        # gate-output-as-irreps_mid requires the entry orders to line up
+        # (scalars first); true for every sorted irreps config in the tree
+        assert tuple(Irreps(list(s) + list(t))) == tuple(irreps_mid), (s, t, irreps_mid)
+        out_perm = tuple(range(mul_alpha)) + tuple(
+            mul_alpha + p for p in im_perm(val_out_irreps)
+        )
         combined = IrrepsLinear(
             dtp1.irreps_out,
             Irreps(f"{mul_alpha}x0e") + val_out_irreps,
+            input_perm=cm_input_perm(dtp1.program) if cm else None,
+            output_perm=out_perm,
             name="sep_alpha_value",
         )(mid)
-        log_alpha = combined[..., :mul_alpha]
-        val_pre = combined[..., mul_alpha:]
-        log_alpha = log_alpha.reshape(*log_alpha.shape[:-1], H, mul_alpha_head)
-        log_alpha = smooth_leaky_relu(log_alpha) * smooth_leaky_relu_norm()
+        la = combined[..., :mul_alpha]
+        val_pre = combined[..., mul_alpha:]  # i-major val_out_irreps
+        la = smooth_leaky_relu(la) * smooth_leaky_relu_norm()
         alpha_dot = self.param(
             "alpha_dot",
             nn.initializers.xavier_uniform(),
             (H, mul_alpha_head),
             message.dtype,
         )
-        log_alpha = jnp.einsum("...hk,hk->...h", log_alpha, alpha_dot)  # (Nd, K, H)
+        # per-head dot as ONE matmul with a block-diagonal (mul_alpha, H)
+        # matrix, emitting the (Nd, H, K) orientation directly (K in lanes —
+        # an (Nd, K, H) tensor would pad H to 128 lanes, ~64x waste)
+        Dmat = jnp.zeros((mul_alpha, H), message.dtype)
+        for h in range(H):
+            Dmat = Dmat.at[h * mul_alpha_head : (h + 1) * mul_alpha_head, h].set(alpha_dot[h])
+        log_alpha = jnp.einsum("nkm,mh->nhk", la.reshape(nd, nk, mul_alpha), Dmat)  # (Nd, H, K)
 
         # --- value branch: gate -> second DTP (internal weights) ---
         if g.dim == 0:
             val = scalar_silu(val_pre)
         else:
-            val = GateFromIrreps(irreps_out=irreps_mid)(val_pre)
+            val = GateFromIrreps(irreps_out=irreps_mid, component_major=True)(val_pre)
         val = SeparableFCTP(
             irreps_in=irreps_mid,
             irreps_edge=irreps_edge,
@@ -172,36 +210,48 @@ class GraphAttention(nn.Module):
             fc_neurons=None,
             use_activation=False,
             internal_weights=True,
+            x_component_major=True,
             name="sep_value",
-        )(val, edge_attr)
-        val = vec2heads(irreps_head, H, val)  # (Nd, K, H, head_dim)
+        )(val, attr2)  # (Nd*K, attn_dim), canonical irreps_attn layout
+        val = val.reshape(nd, nk, -1)
 
-        # --- masked softmax over the K axis ---
+        # --- masked softmax over the K axis (K = last axis) ---
         if edge_pre_attn_logit is not None:
-            log_alpha = log_alpha + edge_pre_attn_logit[..., None]
+            log_alpha = log_alpha + edge_pre_attn_logit[..., None, :]
         neg_big = jnp.asarray(-1e30, dtype=log_alpha.dtype)
-        log_alpha = jnp.where(edge_mask[..., None], log_alpha, neg_big)
-        m = jnp.max(log_alpha, axis=-2, keepdims=True)  # (Nd, 1, H)
+        log_alpha = jnp.where(edge_mask[..., None, :], log_alpha, neg_big)
+        m = jnp.max(log_alpha, axis=-1, keepdims=True)  # (Nd, H, 1)
         m = jnp.maximum(jax.lax.stop_gradient(m), -0.5e30)
-        ea = jnp.where(edge_mask[..., None], jnp.exp(log_alpha - m), 0.0)
-        denom = jnp.sum(ea, axis=-2, keepdims=True)
+        ea = jnp.where(edge_mask[..., None, :], jnp.exp(log_alpha - m), 0.0)
+        denom = jnp.sum(ea, axis=-1, keepdims=True)
         # Floor 0.5, NOT a tiny eps: rows with >=1 valid edge have denom >= 1
         # (the max-subtracted exponent contributes exp(0) = 1), so the floor
         # only engages on all-masked rows (denom = 0 -> alpha = 0).  A tiny
         # floor like 1e-30 NaNs gradients there: the division VJP forms
         # 1/denom^2 = 1e60 (inf) or denom^2 = 1e-60 (flushes to 0 in f32),
         # and the EBM's grad-of-grad hits it via 0 * inf.
-        alpha = ea / jnp.maximum(denom, 0.5)  # (Nd, K, H)
+        alpha = ea / jnp.maximum(denom, 0.5)  # (Nd, H, K)
         if edge_post_attn is not None:
-            alpha = alpha * edge_post_attn[..., None]
+            alpha = alpha * edge_post_attn[..., None, :]
         if self.alpha_drop > 0.0 and not deterministic:
             key = self.make_rng("dropout")
             keep = jax.random.bernoulli(key, 1.0 - self.alpha_drop, alpha.shape)
             alpha = alpha * keep / (1.0 - self.alpha_drop)
 
-        # --- weighted sum over K, heads->vec, output projection ---
-        attn = jnp.einsum("...kh,...khf->...hf", alpha, val)  # (Nd, H, head_dim)
-        attn = heads2vec(irreps_head, attn)  # (Nd, attn_dim)
+        # --- weighted sum over K + per-lane head selection ---
+        # attn_hf[n,h,f] = sum_k alpha[n,h,k] val[n,k,f]; the true output picks
+        # head h(f) per lane — one 0/1 mask einsum instead of the old
+        # vec2heads/heads2vec 4-D reshapes (identical math: heads2vec's output
+        # block order IS the canonical irreps_attn layout).
+        attn_hf = jnp.einsum("...hk,...kf->...hf", alpha, val)  # (Nd, H, attn_dim)
+        Hsel = np.zeros((H, irreps_attn.dim), dtype=np.float32)
+        off = 0
+        for mul, ir in Irreps(irreps_head):
+            blk = mul * ir.dim
+            for h in range(H):
+                Hsel[h, off + h * blk : off + (h + 1) * blk] = 1.0
+            off += H * blk
+        attn = jnp.einsum("...hf,hf->...f", attn_hf, jnp.asarray(Hsel, attn_hf.dtype))
         out = IrrepsLinear(irreps_attn, irreps_out, name="proj")(attn)
         if self.proj_drop > 0.0:
             from .layers import EquivariantDropout

@@ -117,12 +117,25 @@ class EquiformerBlock(nn.Module):
         irreps_out = Irreps(self.irreps_output) if self.irreps_output is not None else irreps_dst
         mlp_mid = resolve_mlp_mid(irreps_emb, self.irreps_mlp_mid)
 
+        # Both message linears emit the i-major lane order (free: the
+        # permutation is folded into their weight columns at trace time), so
+        # the gathered (Nd, K, F) message feeds the attention DTP's
+        # component-major fast path with contiguous lane slices.
+        from .tp import im_perm
+
+        msg_perm = im_perm(irreps_emb)
         msg_src = EquivariantLayerNorm(irreps=irreps_src, name="prenorm_src")(src.f)
-        msg_src = IrrepsLinear(irreps_src, irreps_emb, use_bias=not self.use_dst_feature, name="linear_src")(msg_src)
-        message = msg_src[edges.idx]  # (Nd, K, F_emb)
+        msg_src = IrrepsLinear(
+            irreps_src, irreps_emb, use_bias=not self.use_dst_feature,
+            output_perm=msg_perm, name="linear_src",
+        )(msg_src)
+        message = msg_src[edges.idx]  # (Nd, K, F_emb) i-major
         if self.use_dst_feature:
             msg_dst = EquivariantLayerNorm(irreps=irreps_dst, name="prenorm_dst")(dst.f)
-            msg_dst = IrrepsLinear(irreps_dst, irreps_emb, use_bias=True, name="linear_dst")(msg_dst)
+            msg_dst = IrrepsLinear(
+                irreps_dst, irreps_emb, use_bias=True,
+                output_perm=msg_perm, name="linear_dst",
+            )(msg_dst)
             message = message + msg_dst[:, None, :]
 
         pre_logit = edges.logits if self.use_edge_logits else None
@@ -140,6 +153,7 @@ class EquiformerBlock(nn.Module):
             irreps_head=self.irreps_head,
             alpha_drop=self.alpha_drop,
             proj_drop=self.proj_drop,
+            message_component_major=True,
             name="ga",
         )(
             message,

@@ -57,6 +57,17 @@ class IrrepsLinear(nn.Module):
     # factor (dense dim_in*dim_out vs true block work); beyond it the
     # per-degree einsum loop wins.
     dense_max_waste: float = 8.0
+    # input lanes are permuted relative to the canonical irreps_in layout:
+    # given[..., m] == canonical[..., input_perm[m]] (e.g. a component-major
+    # DTP output, nn/tp.py::cm_input_perm).  The permutation is folded into
+    # the dense weight's rows at trace time — zero runtime cost, identical
+    # params.  Forces the dense path.
+    input_perm: Optional[Tuple[int, ...]] = None
+    # emit output lanes permuted relative to the canonical irreps_out layout:
+    # out[..., m] == canonical_out[..., output_perm[m]] (e.g. the i-major
+    # layout a component-major DTP consumes contiguously, nn/tp.py::im_perm).
+    # Folded into the dense weight's columns + bias at trace time.
+    output_perm: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, f: Optional[jnp.ndarray], materialize: bool = False):
@@ -83,6 +94,11 @@ class IrrepsLinear(nn.Module):
                 true_work += mul_in * mul_out * ir.dim
         dense_work = irreps_in.dim * irreps_out.dim
         use_dense = true_work > 0 and dense_work <= self.dense_max_waste * true_work
+        if self.input_perm is not None or self.output_perm is not None:
+            assert not materialize, "materialize expects canonical layouts"
+            assert self.input_perm is None or len(self.input_perm) == irreps_in.dim
+            assert self.output_perm is None or len(self.output_perm) == irreps_out.dim
+            use_dense = True
 
         params = {}
         for oi, (mul_out, ir) in enumerate(irreps_out):
@@ -121,6 +137,12 @@ class IrrepsLinear(nn.Module):
                     any_bias = True
             if materialize:
                 return W, bias_full
+            if self.input_perm is not None:
+                W = W[jnp.asarray(self.input_perm, dtype=jnp.int32), :]
+            if self.output_perm is not None:
+                op = jnp.asarray(self.output_perm, dtype=jnp.int32)
+                W = W[:, op]
+                bias_full = bias_full[op]
             out = f @ W
             if self.use_bias and any_bias:
                 out = out + bias_full
@@ -230,11 +252,16 @@ def irreps2gate(irreps: Irreps) -> Tuple[Irreps, Irreps, Irreps]:
 class Gate(nn.Module):
     """Gated nonlinearity: input layout ``scalars + gates + gated``; SiLU on
     scalars, sigmoid(gates) multiplying each gated irrep instance
-    (``fast_activation.py:156-224``).  Output: ``scalars + gated``."""
+    (``fast_activation.py:156-224``).  Output: ``scalars + gated``.
+
+    ``component_major``: the gated block's lanes are in i-major order
+    (``nn/tp.py::im_perm`` of ``irreps_gated``); the output keeps that order.
+    Scalar/gate blocks are layout-invariant (d == 1)."""
 
     irreps_scalars: Irreps
     irreps_gates: Irreps
     irreps_gated: Irreps
+    component_major: bool = False
 
     def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
         s = Irreps(self.irreps_scalars)
@@ -257,10 +284,16 @@ class Gate(nn.Module):
         gi = 0
         ci = 0
         for mul, ir in t:
-            for _ in range(mul):
-                R[gi, ci : ci + ir.dim] = 1.0
-                gi += 1
-                ci += ir.dim
+            if self.component_major:
+                # instance u of this entry occupies lanes {ci + i*mul + u}
+                for u in range(mul):
+                    R[gi + u, ci + u : ci + mul * ir.dim : mul] = 1.0
+                gi += mul
+            else:
+                for u in range(mul):
+                    R[gi, ci + u * ir.dim : ci + (u + 1) * ir.dim] = 1.0
+                    gi += 1
+            ci += mul * ir.dim
         gates_exp = gates @ jnp.asarray(R, f.dtype)
         return jnp.concatenate([scalars, gated * gates_exp], axis=-1)
 
@@ -270,6 +303,7 @@ class GateFromIrreps(nn.Module):
     ``gate_input_irreps`` = scalars+gates+gated for the producing linear."""
 
     irreps_out: Irreps
+    component_major: bool = False  # see Gate.component_major
 
     @staticmethod
     def input_irreps(irreps_out: Irreps) -> Irreps:
@@ -279,7 +313,10 @@ class GateFromIrreps(nn.Module):
     @nn.compact
     def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
         s, g, t = irreps2gate(Irreps(self.irreps_out))
-        return Gate(irreps_scalars=s, irreps_gates=g, irreps_gated=t)(f)
+        return Gate(
+            irreps_scalars=s, irreps_gates=g, irreps_gated=t,
+            component_major=self.component_major,
+        )(f)
 
 
 class EquivariantDropout(nn.Module):

@@ -33,12 +33,33 @@ import numpy as np
 from ..geom.cg import w3j
 from ..geom.irreps import Irrep, Irreps, sort_irreps_even_first
 
-__all__ = ["Instruction", "TPProgram", "dtp_instructions", "fctp_instructions", "apply_dtp", "apply_fctp"]
+__all__ = [
+    "Instruction",
+    "TPProgram",
+    "dtp_instructions",
+    "fctp_instructions",
+    "apply_dtp",
+    "apply_dtp_cm",
+    "apply_fctp",
+    "cm_eligible",
+    "cm_input_perm",
+    "im_perm",
+]
 
-# The batched-matmul reformulation (_apply_dtp_sh) is numerically identical
-# but measured SLOWER than the per-instruction loop on v5e (XLA lowers the
-# tiny-contraction batched matmuls poorly); kept as the blueprint for the in-kernel (Pallas) DTP where it is the right shape.
-_USE_SH_FASTPATH = False
+# Round-3 layout note (the r2 seed-scaling fix).  The per-instruction einsum
+# loop materializes 4-D ``(rows, K, mul, 2l+1)`` intermediates whose minor
+# dims (e.g. 16x5) are padded to the TPU's (8, 128) tile — ~25x wasted HBM
+# bytes per pass — and XLA inserts ~1.5 ms layout copies between consecutive
+# contractions (measured: 45% of a Langevin step was raw `copy` ops).  The
+# component-major path (`apply_dtp_cm`) keeps every materialized tensor 2-D/3-D
+# with a wide flattened feature minor dim: the SH contraction becomes one
+# (rows, dim2) @ (dim2, nA) matmul against a trace-time constant, and the
+# per-(i,k) CG terms are strided lane slices + FMAs that XLA fuses into the
+# single output concatenate.  Output lanes are per-path k-major; consumers
+# fold the layout permutation into the next IrrepsLinear's weight rows
+# (``input_perm``) so no runtime permutation is ever materialized.
+# (An earlier batched-matmul variant, r2's `_apply_dtp_sh`, was numerically
+# identical but SLOWER — it still built tiny-minor 3-D/4-D intermediates.)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,15 +163,12 @@ def _assemble(irreps: Irreps, blocks: List[Optional[jnp.ndarray]], batch_shape, 
 
 @functools.lru_cache(maxsize=None)
 def _sh_fastpath_meta(prog: TPProgram):
-    """Static metadata for the batched-matmul DTP fast path (all in2 muls==1).
-
-    Groups instructions by their *source entry* (i_in1); for each source entry
-    builds a dense coefficient tensor ``C_e (d1, dim2, Q_e)`` (Q_e = total
-    output components of that entry's paths, with the per-path w3j, component
-    normalization, fan-in rescale, and in2 slot offsets folded in), plus the
-    bookkeeping to scatter path outputs back into the canonical sorted output
-    layout and to expand per-path radial weights over output components.
-    """
+    """Static per-source-entry DTP metadata (all in2 muls==1): dense
+    coefficient tensors ``C_e (d1, dim2, Q_e)`` with w3j/normalization/rescale
+    folded in, plus output scatter and weight-expansion bookkeeping.  Used by
+    the flag-gated fused attention core (``nn/fused_attention.py``), where the
+    batched-matmul shape is right for an in-VMEM kernel; the HBM-level hot
+    path uses :func:`apply_dtp_cm` instead."""
     dim2 = prog.irreps_in2.dim
     in2_offsets = [s.start for s in prog.irreps_in2.slices()]
     per_entry: dict = {}
@@ -181,55 +199,165 @@ def _sh_fastpath_meta(prog: TPProgram):
     return tuple(metas)
 
 
-def _apply_dtp_sh(prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
-    """Fast path: two batched matmuls per source entry instead of one einsum
-    per instruction — the op-count/fusion-friendly TPU formulation."""
-    metas = _sh_fastpath_meta(prog)
+def cm_eligible(prog: TPProgram) -> bool:
+    """The component-major fast path requires every in2 entry (edge attr) to
+    have multiplicity 1 — true for all spherical-harmonic edge attributes."""
+    return all(mul == 1 for mul, _ in prog.irreps_in2)
+
+
+@functools.lru_cache(maxsize=None)
+def _cm_meta(prog: TPProgram):
+    """Static metadata for :func:`apply_dtp_cm`.
+
+    Returns ``(terms, C_all, cm_src)``:
+
+    * ``C_all (dim2, nA)`` — one column per nonzero ``(path, i, k)`` CG slot
+      (the j axis pre-contracted; per-path w3j scale, component normalization
+      and fan-in rescale folded in).  ``A = x2 @ C_all`` computes every
+      per-edge CG coefficient in one matmul.
+    * ``terms`` — per instruction: the input-entry lane offset/shape, the
+      radial-weight block, and per output component k the list of
+      ``(i, column)`` FMA terms.
+    * ``cm_src`` — for each component-major output lane, its index in the
+      canonical (sorted, mul-major) DTP output layout; consumers permute the
+      next linear's weight rows with it (``IrrepsLinear.input_perm``).
+    """
+    assert cm_eligible(prog)
+    in1_slices = prog.irreps_in1.slices()
+    in2_offsets = [s.start for s in prog.irreps_in2.slices()]
+    out_slices = prog.irreps_out.slices()
+    dim2 = prog.irreps_in2.dim
+    cols: List[np.ndarray] = []
+    terms = []
+    cm_src: List[int] = []
+    for ins in prog.instructions:
+        mul1, ir1 = prog.irreps_in1[ins.i_in1]
+        d1 = ir1.dim
+        d3 = prog.irreps_out[ins.i_out][1].dim
+        W3 = np.asarray(prog.w3j_for(ins)) * prog.alpha[ins.i_out]  # (d1, d2, d3)
+        j0 = in2_offsets[ins.i_in2]
+        d2 = prog.irreps_in2[ins.i_in2][1].dim
+        k_terms = []
+        for k in range(d3):
+            iks = []
+            for i in range(d1):
+                vals = W3[i, :, k]
+                # threshold kills f64 w3j recursion noise (~1e-16 entries)
+                # that would otherwise triple the FMA term count
+                if np.any(np.abs(vals) > 1e-9):
+                    col = np.zeros((dim2,))
+                    col[j0 : j0 + d2] = vals
+                    iks.append((i, len(cols)))
+                    cols.append(col)
+            k_terms.append(tuple(iks))
+        can_off = out_slices[ins.i_out].start
+        for k in range(d3):
+            for u in range(mul1):
+                cm_src.append(can_off + u * d3 + k)
+        terms.append(
+            dict(
+                e1_off=in1_slices[ins.i_in1].start,
+                mul1=mul1,
+                d1=d1,
+                d3=d3,
+                w_start=ins.w_start,
+                k_terms=tuple(k_terms),
+            )
+        )
+    C_all = np.stack(cols, axis=1) if cols else np.zeros((dim2, 0))
+    return tuple(terms), C_all, tuple(cm_src)
+
+
+def cm_input_perm(prog: TPProgram) -> Tuple[int, ...]:
+    """Canonical-layout index of each component-major output lane (feed to the
+    consuming ``IrrepsLinear(input_perm=...)``)."""
+    return _cm_meta(prog)[2]
+
+
+@functools.lru_cache(maxsize=None)
+def im_perm(irreps: Irreps) -> Tuple[int, ...]:
+    """Canonical-layout index of each *i-major* lane: per entry, components
+    outer, multiplicities inner (``lane(e, i, u) -> off_e + u*d + i``).
+
+    Feeding :func:`apply_dtp_cm` i-major inputs (``x1_component_major=True``)
+    turns its strided lane slices into contiguous ones, which keeps XLA from
+    choosing batch-minor layouts (the relayout copies cost ~ms at scale).
+    Producers emit i-major for free via ``IrrepsLinear(output_perm=...)``."""
+    irreps = Irreps(irreps)
+    perm: List[int] = []
+    off = 0
+    for mul, ir in irreps:
+        d = ir.dim
+        for i in range(d):
+            for u in range(mul):
+                perm.append(off + u * d + i)
+        off += mul * d
+    return tuple(perm)
+
+
+def apply_dtp_cm(
+    prog: TPProgram,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    weight: jnp.ndarray,
+    x1_component_major: bool = False,
+) -> jnp.ndarray:
+    """uvu TP in the component-major output layout (see layout note above).
+
+    Output lanes: concat over instructions, each block k-major
+    ``lane = k*mul1 + u``; map back to canonical with :func:`cm_input_perm`.
+    Every op is a wide-lane 2-D/3-D elementwise/slice/matmul — no 4-D
+    tiny-minor intermediates, so XLA fuses the whole product into the output
+    concatenate.
+
+    ``x1_component_major``: x1 lanes are in :func:`im_perm` order (contiguous
+    per-(entry, i) blocks — the fast case; producers emit it for free via
+    ``IrrepsLinear(output_perm=im_perm(...))``).  Canonical inputs use strided
+    lane slices instead.
+    """
+    terms, C_all, _ = _cm_meta(prog)
+    A = x2 @ jnp.asarray(C_all, dtype=x2.dtype)  # (..., nA)
     batch = jnp.broadcast_shapes(
         x1.shape[:-1], x2.shape[:-1], weight.shape[:-1] if weight.ndim > 1 else ()
     )
-    slices1 = prog.irreps_in1.slices()
-    out_blocks: List[Optional[jnp.ndarray]] = [None] * len(prog.irreps_out)
-    for m in metas:
-        mul1, d1 = m["mul1"], m["d1"]
-        C = jnp.asarray(m["C"], dtype=x1.dtype)  # (d1, dim2, Q)
-        x1_e = x1[..., slices1[m["e1"]]].reshape(*x1.shape[:-1], mul1, d1)
-        # sh contraction: (..., dim2) x (d1, dim2, Q) -> (..., d1, Q)
-        Cw = jnp.einsum("...j,ijq->...iq", x2, C)
-        # node contraction: (..., mul1, d1) @ (..., d1, Q) -> (..., mul1, Q)
-        out_e = jnp.einsum("...ui,...iq->...uq", jnp.broadcast_to(x1_e, batch + (mul1, d1)), jnp.broadcast_to(Cw, batch + (d1, m["q_total"])))
-        # per-path radial weights expanded over output components
-        w_cols = []
-        for ws, d3 in m["w_cols"]:
-            w_cols.append(jnp.broadcast_to(weight[..., ws : ws + mul1, None], batch + (mul1, d3)))
-        w_e = jnp.concatenate(w_cols, axis=-1)  # (..., mul1, Q)
-        out_e = out_e * w_e
-        q = 0
-        for i_out, q_off, d3 in m["out_map"]:
-            blk = out_e[..., :, q_off : q_off + d3].reshape(*batch, mul1 * d3)
-            out_blocks[i_out] = blk if out_blocks[i_out] is None else out_blocks[i_out] + blk
-            q += d3
-    return _assemble(prog.irreps_out, out_blocks, batch, x1.dtype)
+    shared_w = weight.ndim == 1
+    pieces: List[jnp.ndarray] = []
+    for t in terms:
+        off, mul1, d1 = t["e1_off"], t["mul1"], t["d1"]
+        if shared_w:
+            w_p = weight[t["w_start"] : t["w_start"] + mul1]
+        else:
+            w_p = weight[..., t["w_start"] : t["w_start"] + mul1]
+        for iks in t["k_terms"]:
+            acc = None
+            for i, c in iks:
+                if x1_component_major:
+                    # i-major entry: lane(i, u) = off + i*mul1 + u (contiguous)
+                    xs = x1[..., off + i * mul1 : off + (i + 1) * mul1]
+                else:
+                    # canonical u-major entry: lane(u, i) = off + u*d1 + i
+                    xs = x1[..., off + i : off + (mul1 - 1) * d1 + i + 1 : d1]
+                term = xs * A[..., c : c + 1]
+                acc = term if acc is None else acc + term
+            if acc is None:
+                pieces.append(jnp.zeros(batch + (mul1,), dtype=x1.dtype))
+            else:
+                pieces.append(jnp.broadcast_to(acc * w_p, batch + (mul1,)))
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def apply_dtp(
     prog: TPProgram, x1: jnp.ndarray, x2: jnp.ndarray, weight: jnp.ndarray
 ) -> jnp.ndarray:
-    """uvu TP with (per-edge or shared) external weights.
+    """uvu TP with (per-edge or shared) external weights, canonical output.
 
     x1: (..., dim1) node features; x2: (..., dim2) edge attr; weight:
     (..., weight_numel) or (weight_numel,) shared.
 
-    When every in2 entry has multiplicity 1 (the spherical-harmonic edge-attr
-    case — the hot path of every attention block) a batched-matmul
-    formulation replaces the per-instruction einsum loop (see
-    ``_apply_dtp_sh``); the generic loop remains for mul2 > 1 (score-head
-    prescore TPs).
+    Generic per-instruction einsum loop — fine for node-level calls (score
+    head prescore TPs, mul2 > 1).  Hot edge-level consumers use
+    :func:`apply_dtp_cm` instead (component-major output; see layout note).
     """
-    if _USE_SH_FASTPATH and all(mul == 1 for mul, _ in prog.irreps_in2):
-        if weight.ndim == 1:
-            weight = weight[None, :]  # shared weights broadcast
-        return _apply_dtp_sh(prog, x1, x2, weight)
     b1 = _blocks(prog.irreps_in1, x1)
     b2 = _blocks(prog.irreps_in2, x2)
     batch = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1], weight.shape[:-1] if weight.ndim > 1 else ())

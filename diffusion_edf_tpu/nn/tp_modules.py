@@ -17,7 +17,15 @@ import jax.numpy as jnp
 from ..geom.irreps import Irrep, Irreps
 from .layers import GateFromIrreps, IrrepsLinear, irreps2gate, scalar_silu
 from .radial import RadialProfile
-from .tp import apply_dtp, apply_fctp, dtp_instructions, fctp_instructions
+from .tp import (
+    apply_dtp,
+    apply_dtp_cm,
+    apply_fctp,
+    cm_eligible,
+    cm_input_perm,
+    dtp_instructions,
+    fctp_instructions,
+)
 
 __all__ = ["DepthwiseTP", "FullyConnectedTP", "FullyConnectedTPSwishGate", "SeparableFCTP"]
 
@@ -57,7 +65,13 @@ class DepthwiseTP(nn.Module):
         edge_attr: Optional[jnp.ndarray] = None,
         weight: Optional[jnp.ndarray] = None,
         return_weight: bool = False,
+        component_major: bool = False,
+        x_component_major: bool = False,
     ):
+        """``component_major=True`` emits the TPU-friendly layout of
+        :func:`nn.tp.apply_dtp_cm`; the consumer must fold
+        ``cm_input_perm(self.program)`` into its weights (same params).
+        ``x_component_major``: x lanes are in ``im_perm(irreps_in)`` order."""
         prog = self.program
         dtype = jnp.float32 if x is None else x.dtype
         if self.internal_weights:
@@ -69,6 +83,10 @@ class DepthwiseTP(nn.Module):
             assert not self.bias
             return weight
         assert weight is not None
+        if component_major:
+            assert not self.bias
+            return apply_dtp_cm(prog, x, edge_attr, weight, x1_component_major=x_component_major)
+        assert not x_component_major
         out = apply_dtp(prog, x, edge_attr, weight)
         if self.bias:
             out = _add_scalar_bias(self, prog.irreps_out, out)
@@ -152,6 +170,9 @@ class SeparableFCTP(nn.Module):
     fc_neurons: Optional[Sequence[int]] = None
     use_activation: bool = False
     internal_weights: bool = False
+    # input lanes are in i-major order (nn/tp.py::im_perm of irreps_in) —
+    # lets the component-major DTP read contiguous slices; params unchanged
+    x_component_major: bool = False
 
     def dtp_module(self) -> DepthwiseTP:
         return DepthwiseTP(
@@ -180,6 +201,9 @@ class SeparableFCTP(nn.Module):
             w_tp = dtp(None, return_weight=True)
             W, b = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(None, materialize=True)
             return w_tp, W, b
+        cm = external_dtp_out is None and cm_eligible(dtp.program)
+        lin_perm = cm_input_perm(dtp.program) if cm else None
+        assert not (self.x_component_major and not cm), "i-major input requires the cm path"
         if external_dtp_out is not None:
             mid = external_dtp_out
         else:
@@ -187,16 +211,18 @@ class SeparableFCTP(nn.Module):
                 w = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp.weight_numel,), name="rad")(
                     edge_scalars
                 )
-                mid = dtp(x, edge_attr, w)
+                mid = dtp(x, edge_attr, w, component_major=cm,
+                          x_component_major=self.x_component_major)
             else:
-                mid = dtp(x, edge_attr)
+                mid = dtp(x, edge_attr, component_major=cm,
+                          x_component_major=self.x_component_major)
         if self.use_activation:
             s, g, t = irreps2gate(out_ir)
             if g.dim == 0:
-                h = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(mid)
+                h = IrrepsLinear(dtp.irreps_out, out_ir, input_perm=lin_perm, name="lin")(mid)
                 return scalar_silu(h)
             gate_in = (s + g + t).simplify()
-            h = IrrepsLinear(dtp.irreps_out, gate_in, name="lin")(mid)
+            h = IrrepsLinear(dtp.irreps_out, gate_in, input_perm=lin_perm, name="lin")(mid)
             return GateFromIrreps(irreps_out=out_ir)(h)
-        h = IrrepsLinear(dtp.irreps_out, out_ir, name="lin")(mid)
+        h = IrrepsLinear(dtp.irreps_out, out_ir, input_perm=lin_perm, name="lin")(mid)
         return h

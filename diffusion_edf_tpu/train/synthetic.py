@@ -192,6 +192,7 @@ def make_synthetic_demo(
     pose_shift: bool = False,
     n_distractors: int = 0,
     shape_scale: float = 1.0,
+    tilt: Optional[float] = None,
 ) -> DemoSequence:
     """One pick+place demo sequence (step 0 = pick, step 1 = place).
 
@@ -202,6 +203,8 @@ def make_synthetic_demo(
       pole tilt, mug beyond the training x/y box).
     * ``n_distractors`` — clutter objects added to the scene.
     * ``shape_scale`` — mug radius/height variation (unseen instance).
+    * ``tilt`` — pole lateral extent (None -> 0.5 under ``pose_shift``,
+      else the 0.25 legacy training value).
     """
     rng = np.random.default_rng(seed)
 
@@ -209,7 +212,8 @@ def make_synthetic_demo(
     table, tc = _plane(rng, [0, 0.35, 0.0], 0, 0, 0.5, int(n_scene * 0.5), [0.45, 0.35, 0.25])
     pole_base = np.array([rng.uniform(-0.1, 0.1), rng.uniform(0.3, 0.45), 0.12])
     yaw = rng.uniform(0, 2 * np.pi)
-    tilt = 0.5 if pose_shift else 0.25  # training draws lateral extent 0.25
+    if tilt is None:
+        tilt = 0.5 if pose_shift else 0.25  # training draws lateral extent 0.25
     pole_dir = np.array([np.cos(yaw) * tilt, np.sin(yaw) * tilt, 0.97])
     pole_dir /= np.linalg.norm(pole_dir)
     pole, pc = _cylinder(rng, pole_base + 0.1 * pole_dir, pole_dir, 0.008, 0.2, int(n_scene * 0.2), [0.7, 0.7, 0.2])
@@ -297,17 +301,43 @@ def make_synthetic_demo(
     return DemoSequence(steps=[pick, place])
 
 
-def make_synthetic_dataset(n_demos: int = 10, seed: int = 0, **kwargs) -> List[DemoSequence]:
-    return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]
+# Diverse-training factor ranges (r3).  The r2 models trained on the narrow
+# fixed-factor distribution (scale 1.0, tilt 0.25, no clutter) and collapsed
+# on the held-out splits (unseen_instances success 0.03, VERDICT r2 weak #1);
+# the reference's real demo sets carry natural per-demo variation.  The
+# held-out splits below still test EXTRAPOLATION beyond these ranges.
+TRAIN_SCALE_RANGE = (0.85, 1.15)
+TRAIN_TILT_RANGE = (0.02, 0.35)
+TRAIN_MAX_DISTRACTORS = 2
+
+
+def make_synthetic_dataset(
+    n_demos: int = 10, seed: int = 0, diverse: bool = False, **kwargs
+) -> List[DemoSequence]:
+    """Training demo set.  ``diverse=True`` draws per-demo mug scale / pole
+    tilt / clutter from the TRAIN_* ranges (the r3 training distribution);
+    ``False`` keeps the legacy fixed factors."""
+    if not diverse:
+        return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]
+    rng = np.random.default_rng(seed + 313)
+    out = []
+    for i in range(n_demos):
+        o = dict(kwargs)
+        o.setdefault("shape_scale", float(rng.uniform(*TRAIN_SCALE_RANGE)))
+        o.setdefault("tilt", float(rng.uniform(*TRAIN_TILT_RANGE)))
+        o.setdefault("n_distractors", int(rng.choice([0, 0, 1, TRAIN_MAX_DISTRACTORS])))
+        out.append(make_synthetic_demo(seed + i, **o))
+    return out
 
 
 # Generalization splits (reference: default / unseen poses / unseen
 # distractors / unseen instances test demo sets).  ``default`` is the training
-# distribution with fresh seeds; the others perturb exactly one factor.
+# distribution with fresh seeds; the others perturb exactly one factor beyond
+# the training ranges.
 SPLITS = {
     "default": dict(),
     "unseen_poses": dict(pose_shift=True),
-    "distractors": dict(n_distractors=3),
+    "distractors": dict(n_distractors=TRAIN_MAX_DISTRACTORS + 1),
     "unseen_instances": dict(shape_scale=None),  # resolved per-demo below
 }
 
@@ -323,8 +353,13 @@ def make_split_dataset(
     for i in range(n_demos):
         o = dict(opts)
         if o.get("shape_scale", 1.0) is None:
-            # unseen instance: mug radius 0.7x-1.3x, excluding the training 1.0
-            s = rng.uniform(0.7, 1.3)
-            o["shape_scale"] = float(s if abs(s - 1.0) > 0.08 else s + 0.16)
+            # unseen instance: mug scale strictly OUTSIDE the diverse training
+            # range [0.85, 1.15] (reference semantics: test mugs differ from
+            # every training mug)
+            lo, hi = TRAIN_SCALE_RANGE
+            if rng.uniform() < 0.5:
+                o["shape_scale"] = float(rng.uniform(lo - 0.15, lo - 0.03))
+            else:
+                o["shape_scale"] = float(rng.uniform(hi + 0.03, hi + 0.15))
         out.append(make_synthetic_demo(seed + i, **o, **kwargs))
     return out

@@ -1,0 +1,130 @@
+"""Decompose one Langevin score-step's device time at several seed counts.
+
+Each candidate slice is run under a 50-iteration ``lax.scan`` whose input
+depends on the carry (so XLA cannot hoist it), killing the ~3 ms per-dispatch
+tunnel latency that poisons naive timing.  Slices:
+  * full   — the complete score eval (what the rollout scans over);
+  * field  — the multiscale tensor field only (edges + attention);
+  * edges  — neighbor search + edge encoding only (no attention);
+  * nbr    — radius_neighbors (dense sqdist + top_k) only;
+  * head   — full minus field (wigner rotate, time MLPs, twin TPs).
+Run on the real chip: python tools/diag_hotpath.py
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(".xla_cache")
+
+import __graft_entry__ as ge
+from diffusion_edf_tpu.train.factory import build_score_model
+from diffusion_edf_tpu.models.data import FeaturedPoints
+from diffusion_edf_tpu.ops.neighbors import radius_neighbors
+
+N_ITERS = 50
+
+
+def scan_time(fn, x0, n_rep=3):
+    """fn: x -> x-like; time a N_ITERS-scan of it, per-iteration seconds."""
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            return fn(c), ()
+
+        out, _ = jax.lax.scan(body, x, None, length=N_ITERS)
+        return out
+
+    out = loop(x0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = loop(x0)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_rep / N_ITERS
+
+
+def seed_batch(n, key=7):
+    q = jax.random.normal(jax.random.PRNGKey(key), (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x = jax.random.uniform(jax.random.PRNGKey(key + 1), (n, 3), minval=-10.0, maxval=10.0)
+    return jnp.concatenate([q, x], -1)
+
+
+def main():
+    cfg = ge._model_config(tiny=False)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    scene, Ts0, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=1024, n_poses=32)
+    time0 = jnp.full((32,), 0.5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts0, scene, scene, time0)
+
+    key_ms = jax.jit(lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale))(params, scene)
+    query = jax.jit(lambda p, g: model.apply(p, g, method=model.get_query_pcd))(params, scene)
+    nQ = int(query.x.shape[0])
+
+    tf_kwargs = cfg["model_kwargs"]["score_head_kwargs"]["key_tensor_field_kwargs"]
+    radii = tf_kwargs["r_cluster_multiscale"]
+    ks = tf_kwargs["k_multiscale"]
+    sizes = [int(p.x.shape[0]) for p in key_ms]
+    print(f"nQ={nQ} scales: sizes={sizes} radii={radii} k={ks}", file=sys.stderr)
+
+    report = {}
+    for nT in (32, 128, 512, 2048):
+        t = jnp.full((nT,), 0.5)
+
+        def full_fn(T):
+            ang, lin = model.apply(params, T, key_ms, query, t, method=model.score)
+            # fold score back into the pose so scan can't hoist anything
+            return T + 1e-6 * jnp.concatenate([jnp.pad(ang, ((0, 0), (0, 1))), lin], -1)
+
+        def nbr_fn(x):
+            acc = 0.0
+            for r, k, pts in zip(radii, ks, key_ms):
+                if r is None:
+                    continue
+                idx, mask = radius_neighbors(pts.x, x, float(r), min(k, sizes[radii.index(r)]), src_mask=pts.mask)
+                acc = acc + jnp.sum(idx * mask)
+            return x + 1e-12 * acc
+
+        # field-only: evaluate score head's tensor field at moving query rows
+        sh_cfg = cfg["model_kwargs"]["score_head_kwargs"]
+        from diffusion_edf_tpu.models.tensor_field import MultiscaleTensorField
+        from diffusion_edf_tpu.geom.irreps import Irreps
+
+        tfk = dict(tf_kwargs)
+        tfk["irreps_input"] = cfg["model_kwargs"]["key_kwargs"]["feature_extractor_kwargs"]["irreps_output"]
+        tfk["irreps_query"] = None
+        tfk["edge_context_emb_dim"] = sh_cfg["time_emb_mlp"][-1]
+        field = MultiscaleTensorField(**tfk)
+        fparams = {"params": params["params"]["score_head"]["key_tensor_field"]}
+        temb = sh_cfg["time_emb_mlp"][-1]
+        ctx = [jnp.ones((nT * nQ, temb)) for _ in radii]
+
+        def field_fn(x):
+            qf = FeaturedPoints(x=x, f=jnp.zeros((nT * nQ, 0)), mask=jnp.ones((nT * nQ,), bool))
+            out = field.apply(fparams, qf, key_ms, context_emb=ctx)
+            return x + 1e-9 * out.f[..., :3]
+
+        Ts = seed_batch(nT)
+        xq = jax.random.uniform(jax.random.PRNGKey(3), (nT * nQ, 3), minval=-10.0, maxval=10.0)
+        full = scan_time(full_fn, Ts)
+        fld = scan_time(field_fn, xq)
+        nbr = scan_time(nbr_fn, xq)
+        report[nT] = dict(
+            full_us=round(full * 1e6, 1),
+            field_us=round(fld * 1e6, 1),
+            nbr_us=round(nbr * 1e6, 1),
+            per_seed_us=round(full * 1e6 / nT, 2),
+        )
+        print(nT, report[nT], file=sys.stderr)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Op-level device-time breakdown of the tensor-field step via jax.profiler.
+
+Captures a trace of a 50-iteration scan of the field at nT seeds, parses the
+perfetto JSON, and aggregates XLA-op device time by fusion name.
+Run: python tools/diag_trace.py [nT]
+"""
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache(".xla_cache")
+
+import __graft_entry__ as ge
+from diffusion_edf_tpu.train.factory import build_score_model
+from diffusion_edf_tpu.models.data import FeaturedPoints
+
+TRACE_DIR = "/tmp/jax-trace-field"
+
+
+def main():
+    nT = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    cfg = ge._model_config(tiny=False)
+    model = build_score_model(cfg["model_name"], cfg["model_kwargs"])
+    scene, Ts0, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=1024, n_poses=32)
+    time0 = jnp.full((32,), 0.5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts0, scene, scene, time0)
+    key_ms = jax.jit(lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale))(params, scene)
+    query = jax.jit(lambda p, g: model.apply(p, g, method=model.get_query_pcd))(params, scene)
+
+    t = jnp.full((nT,), 0.5)
+
+    @jax.jit
+    def loop(T):
+        def body(c, _):
+            ang, lin = model.apply(params, c, key_ms, query, t, method=model.score)
+            return c + 1e-6 * jnp.concatenate([jnp.pad(ang, ((0, 0), (0, 1))), lin], -1), ()
+
+        out, _ = jax.lax.scan(body, T, None, length=50)
+        return out
+
+    q = jax.random.normal(jax.random.PRNGKey(7), (nT, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (nT, 3), minval=-10.0, maxval=10.0)
+    Ts = jnp.concatenate([q, x], -1)
+
+    loop(Ts).block_until_ready()
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    with jax.profiler.trace(TRACE_DIR):
+        loop(Ts).block_until_ready()
+
+    # parse perfetto trace
+    files = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True)
+    assert files, f"no trace under {TRACE_DIR}"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        tr = json.load(f)
+    # find TPU op track pids (device threads have 'XLA Ops' style names)
+    events = [e for e in tr.get("traceEvents", []) if e.get("ph") == "X"]
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    pid_names = {}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device:" in n}
+    for e in events:
+        if e.get("pid") in dev_pids:
+            by_name[e["name"]] += e.get("dur", 0.0)
+            count[e["name"]] += 1
+    total = sum(by_name.values())
+    print(f"pids: { {p: n for p, n in pid_names.items()} }", file=sys.stderr)
+    print(f"total device us (trace window): {total:.0f}")
+    for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{us:10.0f} us  {100*us/max(total,1e-9):5.1f}%  x{count[name]:<5d} {name[:140]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--configs-root-dir", required=True)
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
     p.add_argument("--synthetic-demos", type=int, default=10)
+    p.add_argument("--diverse", action="store_true",
+                   help="per-demo mug-scale/pole-tilt/clutter diversity (r3 training distribution)")
     p.add_argument("--max-epochs", type=int, default=3000)
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--eval-demos", type=int, default=4)
@@ -55,7 +57,9 @@ def main(argv=None):
     log_name = args.log_name or f"{args.task_type}_{time.strftime('%m%d-%H%M')}"
     log_dir = os.path.join("runs", log_name)
     tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir=log_dir)
-    demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
+    demos = make_synthetic_dataset(
+        n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse
+    )
 
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
