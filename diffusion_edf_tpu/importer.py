@@ -404,6 +404,118 @@ def import_dtp_radial_profile(
     return params
 
 
+def _dtp_col_scale(irreps_in: Irreps, irreps_edge: Irreps, irreps_out_target: Irreps) -> np.ndarray:
+    """Per-flat-weight-column scale converting torch DTP weights to ours:
+    ``path_sign / alpha`` of the instruction owning each column (see
+    ``import_dtp_radial_profile``)."""
+    from .nn.tp import dtp_instructions
+
+    prog = dtp_instructions(Irreps(irreps_in), Irreps(irreps_edge), Irreps(irreps_out_target))
+    col_scale = np.ones((prog.weight_numel,))
+    for insn in prog.instructions:
+        l1 = Irreps(irreps_in)[insn.i_in1][1].l
+        l2 = Irreps(irreps_edge)[insn.i_in2][1].l
+        l3 = prog.irreps_out[insn.i_out][1].l
+        n = int(np.prod(insn.w_shape))
+        col_scale[insn.w_start : insn.w_start + n] = path_sign(l1, l2, l3) / prog.alpha[insn.i_out]
+    return col_scale
+
+
+def import_dtp_internal(
+    sd: Dict[str, np.ndarray],
+    prefix: str,
+    irreps_in: Irreps,
+    irreps_edge: Irreps,
+    irreps_out_target: Irreps,
+) -> Dict[str, np.ndarray]:
+    """Internal-weight ``DepthwiseTensorProduct`` (``fc_neurons=None`` in the
+    reference ``SeparableFCTP`` — e.g. the attention value path,
+    ``graph_attention.py:184-190``) -> our ``DepthwiseTP`` ``tp_weight``.
+    Same instruction order on both sides; per-column sign/rescale as in the
+    radial case."""
+    flat = np.asarray(sd[f"{prefix}tp.weight"]).reshape(-1)
+    col = _dtp_col_scale(irreps_in, irreps_edge, irreps_out_target)
+    assert flat.shape[0] == col.shape[0], (flat.shape, col.shape, prefix)
+    return {"tp_weight": flat * col}
+
+
+def import_dense(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """Plain ``torch.nn.Linear`` -> ``flax.linen.Dense`` (kernel transposed)."""
+    out = {"kernel": np.asarray(sd[f"{prefix}weight"]).T}
+    if f"{prefix}bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}bias"]).reshape(-1)
+    return out
+
+
+def import_torch_layer_norm(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """``torch.nn.LayerNorm`` -> ``flax.linen.LayerNorm``."""
+    return {
+        "scale": np.asarray(sd[f"{prefix}weight"]).reshape(-1),
+        "bias": np.asarray(sd[f"{prefix}bias"]).reshape(-1),
+    }
+
+
+def import_alpha_value_linear(
+    sd: Dict[str, np.ndarray],
+    lin_prefix: str,
+    alpha_prefix: str,
+    irreps_in: Irreps,
+    mul_alpha: int,
+    val_out_irreps: Irreps,
+) -> Dict[str, np.ndarray]:
+    """The reference attention's two post-DTP linears — ``sep_alpha``
+    (``graph_attention.py:183``) and ``sep_act.lin``
+    (``graph_attention_transformer.py:101``) — read the same DTP output; our
+    ``GraphAttention`` merges them into ONE ``sep_alpha_value`` IrrepsLinear
+    with ``irreps_out = {mul_alpha}x0e + val_out_irreps``.  Convert both and
+    re-key the value entries' output indices by +1 (the alpha entry is output
+    entry 0)."""
+    alpha_irreps = Irreps(f"{mul_alpha}x0e")
+    a = import_irreps_linear(sd, alpha_prefix, irreps_in, alpha_irreps)
+    v = import_irreps_linear(sd, lin_prefix, irreps_in, Irreps(val_out_irreps))
+    out: Dict[str, np.ndarray] = {}
+    for k, arr in a.items():
+        out[k] = arr  # w0_0e / b0
+    for k, arr in v.items():
+        if k.startswith("w"):
+            oi, ir = k[1:].split("_")
+            out[f"w{int(oi) + 1}_{ir}"] = arr
+        elif k.startswith("b"):
+            out[f"b{int(k[1:]) + 1}"] = arr
+        else:  # pragma: no cover - defensive
+            raise KeyError(k)
+    return out
+
+
+def import_static_keypoint(
+    sd: Dict[str, np.ndarray], prefix: str, irreps_output: Irreps
+) -> Dict[str, np.ndarray]:
+    """``StaticKeypointModel`` (``keypoint_extractor.py:22-47``): learned
+    irreps features (e3nn basis -> ours) + raw logit weights."""
+    M = feature_basis_matrix(Irreps(irreps_output))
+    feats = np.asarray(sd[f"{prefix}keypoint_features"])
+    return {
+        "keypoint_features": feats @ M.T,
+        "keypoint_weights": np.asarray(sd[f"{prefix}keypoint_weights"]).reshape(-1),
+    }
+
+
+def stack_params(dicts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-instance converted param dicts along a new leading axis —
+    the layout of ``nn.vmap``-stacked modules (score head per-scale time MLPs
+    and the lin/ang twin prescore TPs, ``models/score_head.py``)."""
+    keys = sorted(dicts[0])
+    for d in dicts:
+        assert sorted(d) == keys, (sorted(d), keys)
+    out = {}
+    for k in keys:
+        if isinstance(dicts[0][k], dict):
+            out[k] = stack_params([d[k] for d in dicts])
+        else:
+            out[k] = np.stack([np.asarray(d[k]) for d in dicts], axis=0)
+    return out
+
+
 def import_equivariant_layer_norm(
     sd: Dict[str, np.ndarray], prefix: str
 ) -> Dict[str, np.ndarray]:

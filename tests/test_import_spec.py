@@ -1,0 +1,87 @@
+"""Full-model torch-checkpoint import round trip (VERDICT r2 item #5).
+
+Synthesizes a random state dict with the reference's module naming
+(``multiscale_score_model.py`` tree), converts it through the auto-generated
+spec (``tools/gen_import_spec.py``), and requires EXACT key + shape coverage
+of the initialized flax model — ``load_params_npz`` raises on any missing or
+extra key.  Real-checkpoint import shares every code path except the
+``torch.load`` (reference LFS checkpoints are not available offline).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from gen_import_spec import (  # noqa: E402
+    convert_spec,
+    generate_spec,
+    synth_check,
+    synth_state_dict,
+    target_param_shapes,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "diffusion_edf_tpu", "configs", "panda_mug")
+
+FAMILIES = ["pick_lowres", "pick_highres", "pick_ebm", "place_lowres", "place_ebm"]
+
+
+def _model_cfg(family):
+    from diffusion_edf_tpu.train.trainer import load_configs
+
+    _, _, model_cfg = load_configs(os.path.join(CFG, family))
+    return model_cfg
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_spec_round_trip_key_coverage(family):
+    model_cfg = _model_cfg(family)
+    spec = generate_spec(model_cfg)
+    assert synth_check(spec, model_cfg, verbose=False), family
+
+
+def test_committed_spec_matches_generator():
+    """The committed JSON specs stay in sync with the generator."""
+    import json
+
+    for family in FAMILIES:
+        path = os.path.join(REPO, "tools", "specs", f"panda_mug_{family}.json")
+        with open(path) as f:
+            committed = json.load(f)
+        assert committed == generate_spec(_model_cfg(family)), family
+
+
+@pytest.mark.slow  # full-model init compile on CPU (~3 min)
+def test_converted_npz_loads_onto_model_params(tmp_path):
+    """End-to-end: synth sd -> convert -> .npz -> load_params_npz onto the
+    real initialized param tree (zero missing/extra enforced by the loader)."""
+    from diffusion_edf_tpu.agent import load_params_npz
+    from diffusion_edf_tpu.train.factory import build_score_model
+    from diffusion_edf_tpu.models.data import FeaturedPoints
+
+    model_cfg = _model_cfg("pick_lowres")
+    spec = generate_spec(model_cfg)
+    sd = synth_state_dict(spec, seed=3)
+    flat = {f"params/{k}": v for k, v in convert_spec(spec, sd).items()}
+    out = tmp_path / "imported.npz"
+    np.savez(out, **flat)
+
+    model = build_score_model(model_cfg["model_name"], model_cfg["model_kwargs"])
+    n_scene, n_T = 128, 3
+    scene = FeaturedPoints(
+        x=jax.random.normal(jax.random.PRNGKey(0), (n_scene, 3)),
+        f=jax.random.uniform(jax.random.PRNGKey(1), (n_scene, 3)),
+        mask=jnp.ones((n_scene,), bool),
+    )
+    Ts = jnp.concatenate([jnp.ones((n_T, 1)), jnp.zeros((n_T, 6))], -1)
+    params = model.init(jax.random.PRNGKey(2), Ts, scene, scene, jnp.full((n_T,), 0.5))
+    loaded = load_params_npz(str(out), params)
+    # spot-check a converted leaf actually landed (not the init values)
+    got = np.asarray(loaded["params"]["query_model"]["keypoint_weights"])
+    want = np.asarray(sd["query_model.keypoint_weights"]).reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)

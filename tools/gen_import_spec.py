@@ -1,0 +1,669 @@
+"""Auto-generate the full-model torch->flax import spec for a config family.
+
+VERDICT r2 item #5: ``tools/import_torch.py --spec`` previously required a
+hand-authored JSON mapping and no spec existed for any real model.  This tool
+walks OUR model config (the same hyperparameters as the reference's
+``score_model_configs.yaml``) and emits every (torch prefix -> flax path,
+kind, irreps) entry for ``MultiscaleScoreModel`` by mirroring both module
+trees:
+
+* torch naming from the reference model code (``multiscale_score_model.py:
+  34-109``, ``unet_feature_extractor.py:137-256``, ``score_head.py:50-140``,
+  ``multiscale_tensor_field.py:106-180``, ``gnn_block.py:125-160``,
+  ``graph_attention.py:176-205``);
+* flax naming from ``diffusion_edf_tpu/models`` + ``nn`` (ground truth:
+  the shipped ``checkpoints/panda_mug/*.npz`` key sets).
+
+Structural merges handled:
+* our ``sep_alpha_value`` = torch ``sep_alpha`` + ``sep_act.lin`` (one
+  matmul reads the same DTP output);
+* our ``nn.vmap``-stacked ``time_mlps`` / ``vel_tps`` = torch per-scale
+  Sequentials / the lin+ang twin SeparableFCTPs (stacked leading axis);
+* our prescore irreps ``1x0e+Nx1e`` carries a dummy scalar output (dropped
+  as ``[..., 1:]`` in the head) that torch's ``Nx1e`` lacks -> identity
+  column injected.
+
+Usage::
+
+    python tools/gen_import_spec.py --configs-root-dir \
+        diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+        --out tools/specs/panda_mug_pick_lowres.json
+    python tools/gen_import_spec.py ... --synth-check   # round-trip test
+
+``convert_spec(spec, sd)`` executes a generated spec (also used by
+``tools/import_torch.py``); ``synth_state_dict(spec)`` fabricates a random
+reference-named state dict for offline round-trip tests (LFS checkpoints are
+unavailable; the real-checkpoint path shares every code path except the
+``torch.load``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffusion_edf_tpu.geom.irreps import Irrep, Irreps, multiply_irreps  # noqa: E402
+from diffusion_edf_tpu.nn.attention import attn_heads_irreps  # noqa: E402
+from diffusion_edf_tpu.nn.blocks import resolve_mlp_mid  # noqa: E402
+from diffusion_edf_tpu.nn.layers import irreps2gate  # noqa: E402
+from diffusion_edf_tpu.nn.tp import dtp_instructions  # noqa: E402
+from diffusion_edf_tpu.importer import (  # noqa: E402
+    _fctp_torch_instructions,
+    import_alpha_value_linear,
+    import_dense,
+    import_dtp_internal,
+    import_dtp_radial_profile,
+    import_equivariant_layer_norm,
+    import_gaussian_radial_basis,
+    import_irreps_linear,
+    import_static_keypoint,
+    import_torch_layer_norm,
+    stack_params,
+)
+
+# --------------------------------------------------------------------------- #
+# Entry constructors (plain dicts, JSON-serializable)
+# --------------------------------------------------------------------------- #
+
+
+def _e(kind: str, flax: str, **kw) -> dict:
+    return dict(kind=kind, flax=flax, **kw)
+
+
+def _gate_in(irreps) -> Irreps:
+    s, g, t = irreps2gate(Irreps(irreps))
+    return Irreps(irreps) if g.dim == 0 else (s + g + t).simplify()
+
+
+def block_entries(
+    tp: str,
+    fp: str,
+    irreps_src,
+    irreps_dst,
+    irreps_emb,
+    irreps_out,
+    irreps_sh,
+    fc_neurons,
+    num_heads: int,
+    irreps_mlp_mid,
+    use_dst: bool,
+    irreps_head=None,
+) -> List[dict]:
+    """One EquiformerBlock (``gnn_block.py:125-160`` <-> ``nn/blocks.py``)."""
+    src, dst = Irreps(irreps_src), Irreps(irreps_dst)
+    emb, out, sh = Irreps(irreps_emb), Irreps(irreps_out), Irreps(irreps_sh)
+    H = num_heads
+    head = Irreps(irreps_head) if irreps_head is not None else multiply_irreps(emb, 1.0 / H, strict=True)
+    attn = attn_heads_irreps(head, H)
+    mul_alpha = attn.mul_0
+    prog1 = dtp_instructions(emb, sh, emb)
+    prog2 = dtp_instructions(emb, sh, attn)
+    val_out = _gate_in(emb)
+    e: List[dict] = [
+        _e("layer_norm", f"{fp}/prenorm_src", torch=f"{tp}prenorm_src.", irreps=str(src)),
+        _e("irreps_linear", f"{fp}/linear_src", torch=f"{tp}linear_src.",
+           irreps_in=str(src), irreps_out=str(emb), bias=not use_dst),
+    ]
+    if use_dst:
+        e += [
+            _e("layer_norm", f"{fp}/prenorm_dst", torch=f"{tp}prenorm_dst.", irreps=str(dst)),
+            _e("irreps_linear", f"{fp}/linear_dst", torch=f"{tp}linear_dst.",
+               irreps_in=str(dst), irreps_out=str(emb), bias=True),
+        ]
+    e += [
+        _e("dtp_radial", f"{fp}/ga/sep_act_rad", torch=f"{tp}ga.sep_act.dtp_rad.",
+           irreps_in=str(emb), irreps_edge=str(sh), irreps_out_target=str(emb),
+           fc_neurons=list(fc_neurons)),
+        # torch sep_alpha consumes the UNsimplified dtp out (graph_attention.py:51),
+        # sep_act.lin the simplified one (graph_attention_transformer.py:101)
+        _e("alpha_value", f"{fp}/ga/sep_alpha_value",
+           torch_lin=f"{tp}ga.sep_act.lin.", torch_alpha=f"{tp}ga.sep_alpha.",
+           irreps_in_lin=str(prog1.irreps_out.simplify()),
+           irreps_in_alpha=str(prog1.irreps_out),
+           mul_alpha=mul_alpha, val_out=str(val_out)),
+        _e("dtp_internal", f"{fp}/ga/sep_value/dtp", torch=f"{tp}ga.sep_value.dtp.",
+           irreps_in=str(emb), irreps_edge=str(sh), irreps_out_target=str(attn)),
+        _e("irreps_linear", f"{fp}/ga/sep_value/lin", torch=f"{tp}ga.sep_value.lin.",
+           irreps_in=str(prog2.irreps_out.simplify()), irreps_out=str(attn), bias=True),
+        _e("alpha_dot", f"{fp}/ga/alpha_dot", torch=f"{tp}ga.alpha_dot",
+           num_heads=H, mul_alpha_head=mul_alpha // H),
+        _e("irreps_linear", f"{fp}/ga/proj", torch=f"{tp}ga.proj.",
+           irreps_in=str(attn), irreps_out=str(emb), bias=True),
+    ]
+    if use_dst and dst != emb:
+        e.append(_e("irreps_linear", f"{fp}/skip_1/lin", torch=f"{tp}skip_1.skip.",
+                    irreps_in=str(dst), irreps_out=str(emb), bias=True))
+    mid = resolve_mlp_mid(emb, irreps_mlp_mid)
+    e += [
+        _e("layer_norm", f"{fp}/post_norm", torch=f"{tp}post_norm.", irreps=str(emb)),
+        _e("irreps_linear", f"{fp}/ffn/fctp1", torch=f"{tp}ffn.fctp_1.",
+           irreps_in=str(emb), irreps_out=str(_gate_in(mid)), bias=True),
+        _e("irreps_linear", f"{fp}/ffn/fctp2", torch=f"{tp}ffn.fctp_2.",
+           irreps_in=str(mid), irreps_out=str(out), bias=True),
+    ]
+    if emb != out:
+        e.append(_e("irreps_linear", f"{fp}/skip_2/lin", torch=f"{tp}skip_2.skip.",
+                    irreps_in=str(emb), irreps_out=str(out), bias=True))
+    return e
+
+
+def project_entries(tp: str, fp: str, irreps_in, irreps_out, layernorm: bool = True) -> List[dict]:
+    """ProjectIfMismatch (``skip.py:13-35``): identity when irreps match."""
+    if Irreps(irreps_in) == Irreps(irreps_out):
+        return []
+    e = []
+    if layernorm:
+        e.append(_e("layer_norm", f"{fp}/ln", torch=f"{tp}layernorm.", irreps=str(irreps_in)))
+    e.append(_e("irreps_linear", f"{fp}/lin", torch=f"{tp}skip.",
+                irreps_in=str(irreps_in), irreps_out=str(irreps_out), bias=True))
+    return e
+
+
+def scale_layer_entries(tp: str, fp: str, src, dst, sh, fc_neurons, H, mlp_mid,
+                        irreps_head=None) -> List[dict]:
+    """Extractor ``{radial, gnn}`` layer dict (``unet_feature_extractor.py:148-163``)."""
+    return [
+        _e("gaussian_basis", f"{fp}/radial", torch=f"{tp}radial.", num_basis=fc_neurons[0]),
+    ] + block_entries(
+        f"{tp}gnn.", f"{fp}/gnn", src, dst, dst, dst, sh, fc_neurons, H, mlp_mid,
+        use_dst=True, irreps_head=irreps_head,
+    )
+
+
+def unet_entries(tp: str, fp: str, kw: dict) -> List[dict]:
+    """UnetFeatureExtractor (``unet_feature_extractor.py:137-256`` <->
+    ``models/extractor.py``)."""
+    n_scales = len(kw["irreps_emb"])
+    emb = [Irreps(i) for i in kw["irreps_emb"]]
+    sh = [Irreps(i) for i in kw["irreps_edge_attr"]]
+    fc = kw["fc_neurons"]
+    H = kw["num_heads"]
+    n_layers = kw["n_layers"]
+    mlp_mid = kw.get("irreps_mlp_mid", 3)
+    mm = mlp_mid if isinstance(mlp_mid, (list, tuple)) else [mlp_mid] * n_scales
+    out_ir = Irreps(kw["irreps_output"])
+    e: List[dict] = []
+    if kw.get("irreps_input") is not None:
+        e.append(_e("irreps_linear", f"{fp}/down/input_emb", torch=f"{tp}input_emb.",
+                    irreps_in=str(Irreps(kw["irreps_input"])), irreps_out=str(emb[0]), bias=True))
+    for n in range(n_scales):
+        prev = emb[max(n - 1, 0)]
+        e += project_entries(f"{tp}down_blocks.{n}.pool_proj.", f"{fp}/down/pool_proj_{n}",
+                             prev, emb[n])
+        e += scale_layer_entries(f"{tp}down_blocks.{n}.pool_layer.", f"{fp}/down/pool_layer_{n}",
+                                 prev, emb[n], sh[n], fc[n], H[n], mm[n])
+        for i in range(n_layers[n] - 1):
+            e += scale_layer_entries(f"{tp}down_blocks.{n}.layer_stack.{i}.",
+                                     f"{fp}/down/self_layer_{n}_{i}",
+                                     emb[n], emb[n], sh[n], fc[n], H[n], mm[n])
+    for i in range(kw.get("n_layers_midstream", 2)):
+        e += scale_layer_entries(f"{tp}mid_block.{i}.", f"{fp}/mid_layer_{i}",
+                                 emb[-1], emb[-1], sh[-1], fc[-1], H[-1], mm[-1])
+    for j, n in enumerate(range(n_scales - 1, -1, -1)):
+        for i in range(n_layers[n] - 1):
+            e += scale_layer_entries(f"{tp}up_blocks.{j}.layer_stack.{i}.",
+                                     f"{fp}/up_self_layer_{n}_{i}",
+                                     emb[n], emb[n], sh[n], fc[n], H[n], mm[n])
+        if n > 0:
+            e += scale_layer_entries(
+                f"{tp}up_blocks.{j}.unpool_layer.", f"{fp}/unpool_layer_{n}",
+                emb[n], emb[n - 1], sh[n], fc[n], H[n], mm[n],
+                irreps_head=multiply_irreps(emb[n - 1], 1.0 / H[n], strict=True),
+            )
+    for n in range(n_scales):
+        e += project_entries(f"{tp}project_outputs.{n}.", f"{fp}/project_out_{n}",
+                             emb[n], out_ir)
+    return e
+
+
+def forward_only_entries(tp: str, fp: str, kw: dict) -> List[dict]:
+    """ForwardOnlyFeatureExtractor: the UNet's down path + output projections
+    (``forward_only_feature_extractor.py:204-274``)."""
+    n_scales = len(kw["irreps_emb"])
+    emb = [Irreps(i) for i in kw["irreps_emb"]]
+    sh = [Irreps(i) for i in kw["irreps_edge_attr"]]
+    fc, H, n_layers = kw["fc_neurons"], kw["num_heads"], kw["n_layers"]
+    mlp_mid = kw.get("irreps_mlp_mid", 3)
+    mm = mlp_mid if isinstance(mlp_mid, (list, tuple)) else [mlp_mid] * n_scales
+    e: List[dict] = []
+    if kw.get("irreps_input") is not None:
+        e.append(_e("irreps_linear", f"{fp}/down/input_emb", torch=f"{tp}input_emb.",
+                    irreps_in=str(Irreps(kw["irreps_input"])), irreps_out=str(emb[0]), bias=True))
+    for n in range(n_scales):
+        prev = emb[max(n - 1, 0)]
+        e += project_entries(f"{tp}down_blocks.{n}.pool_proj.", f"{fp}/down/pool_proj_{n}",
+                             prev, emb[n])
+        e += scale_layer_entries(f"{tp}down_blocks.{n}.pool_layer.", f"{fp}/down/pool_layer_{n}",
+                                 prev, emb[n], sh[n], fc[n], H[n], mm[n])
+        for i in range(n_layers[n] - 1):
+            e += scale_layer_entries(f"{tp}down_blocks.{n}.layer_stack.{i}.",
+                                     f"{fp}/down/self_layer_{n}_{i}",
+                                     emb[n], emb[n], sh[n], fc[n], H[n], mm[n])
+        e += project_entries(f"{tp}project_outputs.{n}.", f"{fp}/project_out_{n}",
+                             emb[n], Irreps(kw["irreps_output"]))
+    return e
+
+
+def tensor_field_entries(tp: str, fp: str, kw: dict, irreps_input, irreps_query,
+                         edge_ctx: bool) -> List[dict]:
+    """MultiscaleTensorField (``multiscale_tensor_field.py:106-180`` <->
+    ``models/tensor_field.py``)."""
+    irreps_in = Irreps(irreps_input)
+    sh = Irreps(kw["irreps_sh"])
+    out_ir = Irreps(kw["irreps_output"])
+    radii = kw["r_cluster_multiscale"]
+    n_scales = len(radii)
+    fc = list(kw["fc_neurons"])
+    if fc[0] == -1:
+        fc[0] = kw["length_emb_dim"] + (kw["time_emb_dim_ctx"] if edge_ctx else 0)
+    n_layers = kw.get("n_layers", 1)
+    H = kw["num_heads"]
+    mm = kw.get("irreps_mlp_mid", 3)
+    e: List[dict] = []
+    for n, r in enumerate(radii):
+        if r is not None:
+            e.append(_e("gaussian_basis", f"{fp}/parser_{n}/length_enc",
+                        torch=f"{tp}graph_parsers.{n}.length_enc.param_module.",
+                        num_basis=kw["length_emb_dim"]))
+        e.append(_e("dense", f"{fp}/pre_linear_{n}",
+                    torch=f"{tp}edge_scalars_pre_linears.{n}.0.",
+                    d_in=fc[0], d_out=fc[0], bias=True))
+    use_dst = irreps_query is not None
+    dst_ir = Irreps(irreps_query) if use_dst else irreps_in
+    e += block_entries(
+        f"{tp}gnn_block_init.", f"{fp}/gnn_block_init",
+        irreps_in, dst_ir, irreps_in, out_ir if n_layers == 1 else irreps_in,
+        sh, fc, H, mm, use_dst=use_dst,
+    )
+    for i in range(n_layers - 1):
+        e += block_entries(
+            f"{tp}gnn_blocks.{i}.", f"{fp}/gnn_block_{i}",
+            irreps_in, irreps_in, irreps_in,
+            out_ir if i == n_layers - 2 else irreps_in,
+            sh, fc, H, mm, use_dst=True,
+        )
+    return e
+
+
+def keypoint_extractor_entries(tp: str, fp: str, kw: dict) -> List[dict]:
+    """KeypointExtractor (``keypoint_extractor.py:50-131`` <->
+    ``models/keypoint.py``): feature extractor + feature/weight tensor fields
+    + the scalar weight head (torch ``weight_post`` Sequential)."""
+    fe_name = kw.get("feature_extractor_name", "UnetFeatureExtractor")
+    fe_kw = kw["feature_extractor_kwargs"]
+    e: List[dict] = []
+    if fe_name == "UnetFeatureExtractor":
+        e += unet_entries(f"{tp}feature_extractor.", f"{fp}/feature_extractor", fe_kw)
+    elif fe_name == "ForwardOnlyFeatureExtractor":
+        e += forward_only_entries(f"{tp}feature_extractor.", f"{fp}/feature_extractor", fe_kw)
+    else:
+        raise ValueError(fe_name)
+    tf_kw = dict(kw["tensor_field_kwargs"])
+    tf_kw["time_emb_dim_ctx"] = 0
+    e += tensor_field_entries(f"{tp}tensor_field.", f"{fp}/tensor_field",
+                              tf_kw, Irreps(fe_kw["irreps_output"]), None, edge_ctx=False)
+    w_dim = kw["keypoint_kwargs"].get("weight_pre_emb_dim") or Irreps(fe_kw["irreps_output"]).mul_0
+    wf_kw = dict(tf_kw)
+    wf_kw["irreps_output"] = f"{w_dim}x0e"
+    e += tensor_field_entries(f"{tp}weight_field.", f"{fp}/weight_field",
+                              wf_kw, Irreps(fe_kw["irreps_output"]), None, edge_ctx=False)
+    e += [
+        _e("torch_ln", f"{fp}/weight_ln", torch=f"{tp}weight_post.0.", dim=w_dim),
+        _e("dense", f"{fp}/weight_dense", torch=f"{tp}weight_post.2.",
+           d_in=w_dim, d_out=1, bias=True),
+    ]
+    if kw.get("weight_mult") is not None:
+        e.append(_e("raw_scalar", f"{fp}/weight_mult_logit", torch=f"{tp}weight_mult_logit"))
+    return e
+
+
+def score_head_entries(tp: str, fp: str, kw: dict, irreps_key, irreps_query,
+                       ebm: bool) -> List[dict]:
+    """ScoreModelHead / EbmScoreModelHead (``score_head.py:50-140``,
+    ``score_head_ebm.py:50-120`` <-> ``models/score_head.py``)."""
+    time_mlp = list(kw["time_emb_mlp"])
+    tf_kw = dict(kw["key_tensor_field_kwargs"])
+    tf_kw["time_emb_dim_ctx"] = time_mlp[-1]
+    n_scales = len(tf_kw["r_cluster_multiscale"])
+    edge_t = bool(kw["edge_time_encoding"])
+    query_t = bool(kw["query_time_encoding"])
+    e: List[dict] = []
+    if edge_t:
+        parts = []
+        for n in range(n_scales):
+            parts.append([
+                _e("dense", f"dense{i}", torch=f"{tp}time_mlps_multiscale.{n}.{2 * i}.",
+                   d_in=time_mlp[i], d_out=time_mlp[i + 1], bias=True)
+                for i in range(len(time_mlp) - 1)
+            ])
+        e.append(_e("stack", f"{fp}/time_mlps", parts=parts))
+    if query_t:
+        for i in range(len(time_mlp) - 1):
+            e.append(_e("dense", f"{fp}/query_time_mlp/dense{i}",
+                        torch=f"{tp}query_time_mlp.{2 * i}.",
+                        d_in=time_mlp[i], d_out=time_mlp[i + 1], bias=True))
+    irreps_dst = Irreps(f"{time_mlp[-1]}x0e") if query_t else None
+    e += tensor_field_entries(f"{tp}key_tensor_field.", f"{fp}/key_tensor_field",
+                              tf_kw, irreps_key, irreps_dst, edge_ctx=edge_t)
+    if not ebm:
+        key_ir, q_ir = Irreps(irreps_key), Irreps(irreps_query)
+        n_pre = (key_ir.count((1, 1)) + q_ir.count((1, 1))) // 2
+        parts = []
+        for tname in ("lin_vel_tp", "ang_vel_tp"):
+            parts.append([
+                _e("prescore_tp", "", torch=f"{tp}{tname}.",
+                   irreps_key=str(key_ir), irreps_query=str(q_ir), n_pre=n_pre),
+            ])
+        e.append(_e("stack", f"{fp}/vel_tps", parts=parts))
+    return e
+
+
+def generate_spec(model_cfg: dict) -> List[dict]:
+    """Full spec for a ``MultiscaleScoreModel`` config
+    (``multiscale_score_model.py:34-109`` module tree)."""
+    assert model_cfg["model_name"] == "MultiscaleScoreModel", model_cfg["model_name"]
+    mk = model_cfg["model_kwargs"]
+    fe_name = mk["key_kwargs"]["feature_extractor_name"]
+    fe_kw = mk["key_kwargs"]["feature_extractor_kwargs"]
+    e: List[dict] = []
+    if fe_name == "UnetFeatureExtractor":
+        e += unet_entries("key_model.", "key_model", fe_kw)
+    elif fe_name == "ForwardOnlyFeatureExtractor":
+        e += forward_only_entries("key_model.", "key_model", fe_kw)
+    else:
+        raise ValueError(fe_name)
+    if mk["query_model"] == "StaticKeypointModel":
+        qk = mk["query_kwargs"]
+        e.append(_e("static_keypoint", "query_model", torch="query_model.",
+                    irreps_output=str(Irreps(qk["irreps_output"])),
+                    n=len(qk["keypoint_coords"])))
+        irreps_query = Irreps(qk["irreps_output"])
+    elif mk["query_model"] == "KeypointExtractor":
+        qk = mk["query_kwargs"]
+        e += keypoint_extractor_entries("query_model.", "query_model", qk)
+        irreps_query = Irreps(qk["tensor_field_kwargs"]["irreps_output"])
+    else:
+        raise ValueError(mk["query_model"])
+    sh_kw = mk["score_head_kwargs"]
+    e += score_head_entries("score_head.", "score_head", sh_kw,
+                            irreps_key=Irreps(fe_kw["irreps_output"]),
+                            irreps_query=irreps_query,
+                            ebm=bool(sh_kw.get("ebm", False)))
+    return e
+
+
+# --------------------------------------------------------------------------- #
+# Spec execution + synthesis
+# --------------------------------------------------------------------------- #
+
+
+def _flatten(d: dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    for k, v in d.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            _flatten(v, p, out)
+        else:
+            out[p] = np.asarray(v)
+
+
+def _convert_prescore(sd, entry) -> dict:
+    """One torch prescore SeparableFCTP (``score_head.py:123-140``): internal
+    DTP + lin; our output irreps carry a dummy leading ``1x0e`` the torch
+    ``Nx1e`` target lacks (dropped by the head as ``[..., 1:]``) -> identity
+    column injected into the gate linear."""
+    key_ir = Irreps(entry["irreps_key"])
+    q_ir = Irreps(entry["irreps_query"])
+    n_pre = int(entry["n_pre"])
+    ours_target = Irreps(f"1x0e+{n_pre}x1e")
+    # DTP programs coincide (0e is always kept, tensor_product_rescale.py:368)
+    dtp = import_dtp_internal(sd, f"{entry['torch']}dtp.", str(key_ir), str(q_ir), str(ours_target))
+    prog = dtp_instructions(key_ir, q_ir, ours_target)
+    # torch lin: dtp_out.simplify() -> gate_in of Nx1e = Nx0e+Nx1e
+    torch_gate_in = Irreps(f"{n_pre}x0e+{n_pre}x1e")
+    lin = import_irreps_linear(sd, f"{entry['torch']}lin.",
+                               str(prog.irreps_out.simplify()), str(torch_gate_in))
+    # ours: gate_in of 1x0e+Nx1e = (1+N)x0e+Nx1e; inject dummy scalar column 0
+    mul_in_0e = sum(mul for mul, ir in prog.irreps_out if ir == Irrep(0, 1))
+    w0 = np.ones((mul_in_0e, n_pre + 1))  # param 1.0 == effective weight 0
+    w0[:, 1:] = lin.pop("w0_0e")
+    b0 = np.zeros((n_pre + 1,))
+    b0[1:] = lin.pop("b0")
+    out_lin = {"w0_0e": w0, "b0": b0, "w1_1e": lin.pop("w1_1e")}
+    assert not lin, lin
+    return {"dtp": dtp, "lin": out_lin}
+
+
+def convert_entry(sd: Dict[str, np.ndarray], entry: dict) -> dict:
+    k = entry["kind"]
+    if k == "irreps_linear":
+        return import_irreps_linear(sd, entry["torch"], entry["irreps_in"], entry["irreps_out"])
+    if k == "layer_norm":
+        return import_equivariant_layer_norm(sd, entry["torch"])
+    if k == "gaussian_basis":
+        return import_gaussian_radial_basis(sd, entry["torch"])
+    if k == "dense":
+        return import_dense(sd, entry["torch"])
+    if k == "dtp_radial":
+        return import_dtp_radial_profile(
+            sd, entry["torch"], entry["irreps_in"], entry["irreps_edge"],
+            entry["irreps_out_target"]
+        )
+    if k == "dtp_internal":
+        return import_dtp_internal(
+            sd, f"{entry['torch']}", entry["irreps_in"], entry["irreps_edge"],
+            entry["irreps_out_target"]
+        )
+    if k == "alpha_value":
+        a = import_irreps_linear(sd, entry["torch_alpha"], entry["irreps_in_alpha"],
+                                 f"{entry['mul_alpha']}x0e")
+        v = import_irreps_linear(sd, entry["torch_lin"], entry["irreps_in_lin"],
+                                 entry["val_out"])
+        out = dict(a)
+        for kk, arr in v.items():
+            if kk.startswith("w"):
+                oi, ir = kk[1:].split("_")
+                out[f"w{int(oi) + 1}_{ir}"] = arr
+            else:
+                out[f"b{int(kk[1:]) + 1}"] = arr
+        return out
+    if k == "alpha_dot":
+        return {"": np.asarray(sd[entry["torch"]]).reshape(entry["num_heads"],
+                                                           entry["mul_alpha_head"])}
+    if k == "static_keypoint":
+        return import_static_keypoint(sd, entry["torch"], entry["irreps_output"])
+    if k == "torch_ln":
+        return import_torch_layer_norm(sd, entry["torch"])
+    if k == "raw_scalar":
+        return {"": np.asarray(sd[entry["torch"]]).reshape(())}
+    if k == "prescore_tp":
+        return _convert_prescore(sd, entry)
+    if k == "stack":
+        insts = []
+        for part in entry["parts"]:
+            inst: Dict[str, np.ndarray] = {}
+            for sub in part:
+                _flatten(convert_entry(sd, sub), sub["flax"], inst)
+            insts.append(inst)
+        return stack_params(insts)
+    raise KeyError(k)
+
+
+def convert_spec(spec: List[dict], sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for entry in spec:
+        converted = convert_entry(sd, entry)
+        if "" in converted:  # scalar param (alpha_dot)
+            out[entry["flax"]] = converted[""]
+        else:
+            _flatten(converted, entry["flax"], out)
+    return out
+
+
+# ---- synthetic reference-named state dict (shapes per kind) ---------------- #
+
+
+def _synth_linear_rs(sd, rng, prefix, irreps_in, irreps_out, bias):
+    _, numel, _ = _fctp_torch_instructions(Irreps(irreps_in), Irreps("1x0e"), Irreps(irreps_out))
+    sd[f"{prefix}tp.weight"] = rng.normal(size=(numel,))
+    if bias:
+        n_scalar = sum(mul for mul, ir in Irreps(irreps_out) if ir == Irrep(0, 1))
+        if n_scalar:
+            sd[f"{prefix}bias.0"] = rng.normal(size=(n_scalar,))
+
+
+def synth_entry(sd: Dict[str, np.ndarray], entry: dict, rng) -> None:
+    k = entry["kind"]
+    if k == "irreps_linear":
+        _synth_linear_rs(sd, rng, entry["torch"], entry["irreps_in"], entry["irreps_out"],
+                         entry.get("bias", True))
+    elif k == "layer_norm":
+        ir = Irreps(entry["irreps"])
+        sd[f"{entry['torch']}affine_weight"] = rng.normal(size=(ir.num_irreps,))
+        n_scalar = sum(mul for mul, irr in ir if irr == Irrep(0, 1))
+        sd[f"{entry['torch']}affine_bias"] = rng.normal(size=(max(n_scalar, 0),))
+    elif k == "gaussian_basis":
+        n = entry["num_basis"]
+        for p in ("mean", "std_logit", "weight_logit"):
+            sd[f"{entry['torch']}{p}"] = rng.normal(size=(1, n))
+    elif k == "dense":
+        sd[f"{entry['torch']}weight"] = rng.normal(size=(entry["d_out"], entry["d_in"]))
+        if entry.get("bias", True):
+            sd[f"{entry['torch']}bias"] = rng.normal(size=(entry["d_out"],))
+    elif k == "dtp_radial":
+        prog = dtp_instructions(Irreps(entry["irreps_in"]), Irreps(entry["irreps_edge"]),
+                                Irreps(entry["irreps_out_target"]))
+        chs = list(entry["fc_neurons"]) + [prog.weight_numel]
+        for i in range(len(chs) - 1):
+            li = 3 * i
+            sd[f"{entry['torch']}net.{li}.weight"] = rng.normal(size=(chs[i + 1], chs[i]))
+            if i != len(chs) - 2:
+                sd[f"{entry['torch']}net.{li}.bias"] = rng.normal(size=(chs[i + 1],))
+                sd[f"{entry['torch']}net.{li + 1}.weight"] = rng.normal(size=(chs[i + 1],))
+                sd[f"{entry['torch']}net.{li + 1}.bias"] = rng.normal(size=(chs[i + 1],))
+        sd[f"{entry['torch']}offset"] = rng.normal(size=(prog.weight_numel,)) * 0.01
+    elif k == "dtp_internal":
+        prog = dtp_instructions(Irreps(entry["irreps_in"]), Irreps(entry["irreps_edge"]),
+                                Irreps(entry["irreps_out_target"]))
+        sd[f"{entry['torch']}tp.weight"] = rng.normal(size=(prog.weight_numel,))
+    elif k == "alpha_value":
+        _synth_linear_rs(sd, rng, entry["torch_alpha"], entry["irreps_in_alpha"],
+                         f"{entry['mul_alpha']}x0e", True)
+        _synth_linear_rs(sd, rng, entry["torch_lin"], entry["irreps_in_lin"],
+                         entry["val_out"], True)
+    elif k == "alpha_dot":
+        sd[entry["torch"]] = rng.normal(size=(1, entry["num_heads"], entry["mul_alpha_head"]))
+    elif k == "static_keypoint":
+        ir = Irreps(entry["irreps_output"])
+        sd[f"{entry['torch']}keypoint_features"] = rng.normal(size=(entry["n"], ir.dim))
+        sd[f"{entry['torch']}keypoint_weights"] = rng.normal(size=(entry["n"],))
+    elif k == "torch_ln":
+        sd[f"{entry['torch']}weight"] = rng.normal(size=(entry["dim"],))
+        sd[f"{entry['torch']}bias"] = rng.normal(size=(entry["dim"],))
+    elif k == "raw_scalar":
+        sd[entry["torch"]] = rng.normal(size=())
+    elif k == "prescore_tp":
+        key_ir, q_ir = Irreps(entry["irreps_key"]), Irreps(entry["irreps_query"])
+        n_pre = int(entry["n_pre"])
+        prog = dtp_instructions(key_ir, q_ir, Irreps(f"1x0e+{n_pre}x1e"))
+        sd[f"{entry['torch']}dtp.tp.weight"] = rng.normal(size=(prog.weight_numel,))
+        _synth_linear_rs(sd, rng, f"{entry['torch']}lin.",
+                         str(prog.irreps_out.simplify()), f"{n_pre}x0e+{n_pre}x1e", True)
+    elif k == "stack":
+        for part in entry["parts"]:
+            for sub in part:
+                synth_entry(sd, sub, rng)
+    else:
+        raise KeyError(k)
+
+
+def synth_state_dict(spec: List[dict], seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+    for entry in spec:
+        synth_entry(sd, entry, rng)
+    return sd
+
+
+def target_param_shapes(model_cfg: dict) -> Dict[str, tuple]:
+    """Flax param key -> shape via an ``eval_shape`` model init (no compile)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from diffusion_edf_tpu.train.factory import build_score_model
+    from diffusion_edf_tpu.models.data import FeaturedPoints
+
+    model = build_score_model(model_cfg["model_name"], model_cfg["model_kwargs"])
+    n_scene, n_T = 128, 3
+    scene = FeaturedPoints(
+        x=jnp.zeros((n_scene, 3)), f=jnp.zeros((n_scene, 3)),
+        mask=jnp.ones((n_scene,), bool),
+    )
+    Ts = jnp.concatenate([jnp.ones((n_T, 1)), jnp.zeros((n_T, 6))], -1)
+    t = jnp.full((n_T,), 0.5)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), Ts, scene, scene, t)
+    )
+    out = {}
+    for path, leaf in jtu.tree_flatten_with_path(variables)[0]:
+        out["/".join(p.key for p in path)] = tuple(leaf.shape)
+    return out
+
+
+def synth_check(spec: List[dict], model_cfg: dict, verbose: bool = True) -> bool:
+    """Round-trip: synthesize a reference-named state dict, convert via the
+    spec, and require exact key + shape coverage of the initialized model."""
+    sd = synth_state_dict(spec)
+    flat = {f"params/{k}": v for k, v in convert_spec(spec, sd).items()}
+    want = target_param_shapes(model_cfg)
+    missing = sorted(set(want) - set(flat))
+    extra = sorted(set(flat) - set(want))
+    bad = sorted(k for k in set(want) & set(flat)
+                 if tuple(want[k]) != tuple(np.asarray(flat[k]).shape))
+    if verbose:
+        print(f"model params: {len(want)}  converted: {len(flat)}")
+        print(f"missing: {len(missing)}  extra: {len(extra)}  shape-mismatch: {len(bad)}")
+        for k in missing[:8]:
+            print("  missing", k, want[k])
+        for k in extra[:8]:
+            print("  extra  ", k, np.asarray(flat[k]).shape)
+        for k in bad[:8]:
+            print("  shape  ", k, want[k], np.asarray(flat[k]).shape)
+    return not (missing or extra or bad)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--configs-root-dir", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--synth-check", action="store_true",
+                   help="synthesize a reference-named state dict, convert it, "
+                        "and verify key/shape coverage against the initialized model")
+    args = p.parse_args(argv)
+
+    from diffusion_edf_tpu.train.trainer import load_configs
+
+    _, _, model_cfg = load_configs(args.configs_root_dir)
+    spec = generate_spec(model_cfg)
+    n_torch = sum(1 for e in spec)
+    print(f"{n_torch} spec entries")
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(spec, f, indent=1)
+        print(f"wrote {args.out}")
+    if args.synth_check:
+        ok = synth_check(spec, model_cfg)
+        if not ok:
+            sys.exit(1)
+        print("synth-check OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ (gen_import_spec)
 
 from diffusion_edf_tpu.importer import (  # noqa: E402
     import_dtp_radial_profile,
@@ -102,24 +103,33 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("checkpoint")
     p.add_argument("--inspect", action="store_true")
-    p.add_argument("--spec", default=None, help="JSON conversion spec")
+    p.add_argument("--spec", default=None, help="JSON conversion spec (tools/specs/*.json)")
+    p.add_argument("--configs-root-dir", default=None,
+                   help="auto-generate the spec from this config family "
+                        "(tools/gen_import_spec.py) — no hand-written spec needed")
     p.add_argument("--out", default=None, help="output .npz of flax params")
     args = p.parse_args(argv)
 
     sd, meta = load_state_dict(args.checkpoint)
     print(f"{len(sd)} tensors; meta={meta}")
-    if args.inspect or not args.spec:
+    if args.inspect or not (args.spec or args.configs_root_dir):
         inspect(sd)
-        if not args.spec:
+        if not (args.spec or args.configs_root_dir):
             return
-    with open(args.spec) as f:
-        spec = json.load(f)
-    converted = {}
-    for entry in spec:
-        fn = KIND_FNS[entry["kind"]]
-        params = fn(sd, entry)
-        converted.update(flatten(params, entry["flax"]))
-        print(f"converted {entry['torch']} -> {entry['flax']} ({entry['kind']})")
+    if args.spec:
+        with open(args.spec) as f:
+            spec = json.load(f)
+    else:
+        from gen_import_spec import generate_spec
+        from diffusion_edf_tpu.train.trainer import load_configs
+
+        _, _, model_cfg = load_configs(args.configs_root_dir)
+        spec = generate_spec(model_cfg)
+        print(f"auto-generated spec: {len(spec)} entries")
+    from gen_import_spec import convert_spec
+
+    converted = {f"params/{k}": v for k, v in convert_spec(spec, sd).items()}
+    print(f"converted {len(spec)} modules -> {len(converted)} arrays")
     if args.out:
         np.savez(args.out, **converted)
         print(f"wrote {len(converted)} arrays -> {args.out}")
