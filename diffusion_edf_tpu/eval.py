@@ -197,6 +197,14 @@ def evaluate_agent(
     return {
         "n_demos": len(per_demo),
         "n_samples": int(len(trans)),
+        # eval conventions, recorded so reports are comparable across rounds
+        # (VERDICT r2 weak #5): samples are matched to the NEAREST target /
+        # orbit point; the orbit is symmetry_orbit points about world z
+        # through the demo's symmetry center (0 = off)
+        "n_seeds": int(n_seeds),
+        "symmetry_orbit": {"n": int(symmetry_orbit), "axis": [0.0, 0.0, 1.0]},
+        "success_thresholds": {"trans_cm": success_trans_cm, "rot_deg": success_rot_deg},
+        "target_matching": "nearest",
         "trans_err_cm": {"mean": float(trans.mean()), "median": float(np.median(trans))},
         "rot_err_deg": {"mean": float(rot.mean()), "median": float(np.median(rot))},
         "success_rate": float(success.mean()),

@@ -47,6 +47,10 @@ class MultiscaleTensorField(nn.Module):
     proj_drop: float = 0.0
     use_src_point_attn: bool = False
     cutoff_method: str = "edge_attn"
+    # shard the key (scene) cloud over this mesh axis (call inside a shard_map
+    # binding it; each scale's points pre-split along the point axis) — the
+    # blocks' attention psum-combines (SURVEY §2.4(2)/§5.7, nn/attention.py)
+    scene_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -165,6 +169,7 @@ class MultiscaleTensorField(nn.Module):
             alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
             use_dst_feature=use_dst,
             use_src_point_attn=self.use_src_point_attn,
+                scene_axis_name=self.scene_axis_name,
             use_edge_logits=use_edge_weights,
             name="gnn_block_init",
         )(flat_src, query_points, all_edges, deterministic=deterministic)
@@ -181,6 +186,7 @@ class MultiscaleTensorField(nn.Module):
                 alpha_drop=self.alpha_drop, proj_drop=self.proj_drop,
                 use_dst_feature=True,
                 use_src_point_attn=self.use_src_point_attn,
+                scene_axis_name=self.scene_axis_name,
                 use_edge_logits=use_edge_weights,
                 name=f"gnn_block_{i}",
             )(flat_src, out, all_edges, deterministic=deterministic)

@@ -92,6 +92,15 @@ class GraphAttention(nn.Module):
     # XLA from inserting batch-minor relayout copies on the gathered
     # (Nd*K, F) message.
     message_component_major: bool = False
+    # scene/edge-axis sharding (SURVEY §2.4(2)/§5.7): when set (inside a
+    # shard_map whose mesh binds this axis name), the SOURCE cloud is
+    # partitioned over the axis — each shard attends its local masked-K
+    # neighborhood and the softmax combines globally: pmax of the
+    # max-subtraction constant, psum of the exp-sum denominator, psum of the
+    # per-head weighted value sums.  The `null` (dense) scale becomes
+    # blockwise dense attention for free (its local edges cover the local
+    # block).  Exact semantics of the replicated path up to summation order.
+    scene_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -142,6 +151,8 @@ class GraphAttention(nn.Module):
 
         fused = self.fused_core or os.environ.get("DIFFUSION_EDF_TPU_FUSED") or None
         drop_active = self.alpha_drop > 0.0 and not deterministic
+        if self.scene_axis_name is not None:
+            fused = None  # collectives live in the module path only
         if fused in ("xla", "pallas", "pallas_interpret") and not drop_active:
             msg_can = message
             if self.message_component_major:
@@ -222,8 +233,12 @@ class GraphAttention(nn.Module):
         log_alpha = jnp.where(edge_mask[..., None, :], log_alpha, neg_big)
         m = jnp.max(log_alpha, axis=-1, keepdims=True)  # (Nd, H, 1)
         m = jnp.maximum(jax.lax.stop_gradient(m), -0.5e30)
+        if self.scene_axis_name is not None:
+            m = jax.lax.pmax(m, self.scene_axis_name)
         ea = jnp.where(edge_mask[..., None, :], jnp.exp(log_alpha - m), 0.0)
         denom = jnp.sum(ea, axis=-1, keepdims=True)
+        if self.scene_axis_name is not None:
+            denom = jax.lax.psum(denom, self.scene_axis_name)
         # Floor 0.5, NOT a tiny eps: rows with >=1 valid edge have denom >= 1
         # (the max-subtracted exponent contributes exp(0) = 1), so the floor
         # only engages on all-masked rows (denom = 0 -> alpha = 0).  A tiny
@@ -244,6 +259,9 @@ class GraphAttention(nn.Module):
         # vec2heads/heads2vec 4-D reshapes (identical math: heads2vec's output
         # block order IS the canonical irreps_attn layout).
         attn_hf = jnp.einsum("...hk,...kf->...hf", alpha, val)  # (Nd, H, attn_dim)
+        if self.scene_axis_name is not None:
+            # partial per-shard weighted sums -> global attention output
+            attn_hf = jax.lax.psum(attn_hf, self.scene_axis_name)
         Hsel = np.zeros((H, irreps_attn.dim), dtype=np.float32)
         off = 0
         for mul, ir in Irreps(irreps_head):

@@ -102,6 +102,7 @@ class EquiformerBlock(nn.Module):
     skip_connection: bool = True
     use_src_point_attn: bool = False
     use_edge_logits: bool = True  # edge_attn cutoff method
+    scene_axis_name: Optional[str] = None  # src cloud sharded over this mesh axis
 
     @nn.compact
     def __call__(
@@ -154,6 +155,7 @@ class EquiformerBlock(nn.Module):
             alpha_drop=self.alpha_drop,
             proj_drop=self.proj_drop,
             message_component_major=True,
+            scene_axis_name=self.scene_axis_name,
             name="ga",
         )(
             message,

@@ -1,3 +1,9 @@
 """Device-mesh parallelism: seed-sharded sampling, data-parallel training."""
 from .mesh import P, make_mesh, replicate, shard_batch  # noqa: F401
-from .sharded import make_sharded_train_step, pad_seeds_to_multiple, sharded_langevin_sample  # noqa: F401
+from .sharded import (  # noqa: F401
+    make_sharded_train_step,
+    pad_seeds_to_multiple,
+    scene_sharded_score_fn,
+    sharded_langevin_sample,
+    split_scene_for_mesh,
+)

@@ -18,7 +18,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..diffusion.langevin import LangevinSchedule, langevin_sample
 from ..models.data import FeaturedPoints
 
-__all__ = ["sharded_langevin_sample", "make_sharded_train_step", "pad_seeds_to_multiple"]
+__all__ = [
+    "sharded_langevin_sample",
+    "make_sharded_train_step",
+    "pad_seeds_to_multiple",
+    "split_scene_for_mesh",
+    "scene_sharded_score_fn",
+]
 
 
 def pad_seeds_to_multiple(T_seed: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, int]:
@@ -67,6 +73,84 @@ def sharded_langevin_sample(
     if record_trajectory:
         return T_final[:n_orig], traj[:, :n_orig]
     return T_final[:n_orig], None
+
+
+def split_scene_for_mesh(key_ms: List[FeaturedPoints], n_shards: int) -> List[FeaturedPoints]:
+    """Pad each scale's point count to a multiple of ``n_shards`` (padded
+    points masked off) so the cloud can be partitioned over the model axis."""
+    out = []
+    for fp in key_ms:
+        n = fp.x.shape[0]
+        pad = (-n) % n_shards
+
+        def p(a, fill):
+            if a is None or pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+            )
+
+        out.append(
+            FeaturedPoints(
+                x=p(fp.x, 0.0), f=p(fp.f, 0.0), mask=p(fp.mask, False),
+                w=p(fp.w, 0.0) if fp.w is not None else None,
+            )
+        )
+    return out
+
+
+def scene_sharded_score_fn(
+    mesh: Mesh,
+    model,
+    params,
+    key_ms: List[FeaturedPoints],
+    query: FeaturedPoints,
+    scene_axis: str = "model",
+    data_axis: str = "data",
+):
+    """Score function with the SCENE (key) cloud partitioned over the model
+    axis and pose seeds over the data axis (SURVEY §2.4(2)/§5.7).
+
+    ``model`` must be built with
+    ``key_tensor_field_kwargs['scene_axis_name'] = scene_axis`` (same param
+    tree — the axis name only inserts collectives).  Each shard attends its
+    local block of every scale (the ``null`` scale becomes blockwise dense
+    attention) and the attention softmax/value sums psum over ICI
+    (``nn/attention.py``).  A 100k-point scene thus costs N/M points of
+    memory and edge work per chip instead of a full replica.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    M = int(mesh.shape[scene_axis])
+    D = int(mesh.shape[data_axis])
+    key_ms_p = split_scene_for_mesh(key_ms, M)
+    pt_spec = [
+        FeaturedPoints(
+            x=P(scene_axis), f=P(scene_axis), mask=P(scene_axis),
+            w=P(scene_axis) if fp.w is not None else None,
+        )
+        for fp in key_ms_p
+    ]
+
+    def inner(T, t, key_shards):
+        return model.apply(params, T, key_shards, query, t, method=model.score)
+
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), pt_spec),
+        out_specs=(P(data_axis), P(data_axis)),
+        check_rep=False,  # psum inside flax apply; rep-checking can't see it
+    )
+
+    @jax.jit
+    def score(T, t):
+        T, n_orig = pad_seeds_to_multiple(T, D)
+        t, _ = pad_seeds_to_multiple(t[:, None], D)
+        ang, lin = sharded(T, t[:, 0], key_ms_p)
+        return ang[:n_orig], lin[:n_orig]
+
+    return score
 
 
 def make_sharded_train_step(mesh: Mesh, train_step_fn: Callable):
