@@ -244,15 +244,28 @@ def main(argv=None):
     p.add_argument("--critic-configs-root-dir", default=None,
                    help="EBM critic config family; enables energy-ranked executed-sample metrics")
     p.add_argument("--critic-checkpoint-dir", default=None)
+    p.add_argument("--cascade-configs-root-dir", default=None,
+                   help="second-stage (highres) config family: evaluates the "
+                        "lowres->highres cascade (reference agent.py:133-174, "
+                        "stage-k final pose seeds stage k+1)")
+    p.add_argument("--cascade-checkpoint-dir", default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
     from .agent import DiffusionEdfAgent, load_model_bundle
     from .train.synthetic import SPLITS, make_split_dataset, make_synthetic_dataset
 
-    bundle = load_model_bundle(
+    bundles = [load_model_bundle(
         args.configs_root_dir, checkpoint_dir=args.checkpoint_dir, n_scene_pad=args.n_scene_pad
-    )
+    )]
+    if args.cascade_configs_root_dir:
+        if not args.cascade_checkpoint_dir:
+            p.error("--cascade-configs-root-dir requires --cascade-checkpoint-dir")
+        bundles.append(load_model_bundle(
+            args.cascade_configs_root_dir,
+            checkpoint_dir=args.cascade_checkpoint_dir,
+            n_scene_pad=args.n_scene_pad,
+        ))
     critic = None
     if args.critic_configs_root_dir:
         # a randomly initialized critic would silently rank by noise and the
@@ -270,7 +283,7 @@ def main(argv=None):
         dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
     ]
     unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
-    agent = DiffusionEdfAgent([bundle], preprocess, unprocess, critic=critic)
+    agent = DiffusionEdfAgent(bundles, preprocess, unprocess, critic=critic)
     if args.splits is not None:
         split_names = args.splits or list(SPLITS)
         report = {}

@@ -240,8 +240,13 @@ class ForwardOnlyFeatureExtractor(nn.Module):
     n_layers: Sequence[int]
     pool_ratio: Sequence[float]
     radius: Sequence[Optional[float]]
+    # accepted-and-ignored for config parity: the reference ForwardOnly
+    # extractor stores it but runs the down path only
+    # (forward_only_feature_extractor.py:44,58)
+    n_layers_midstream: int = 2
     k_pool: Sequence[int] = (24, 24, 24, 24)
     k_self: Sequence[int] = (32, 32, 32, 32)
+    k_up: Sequence[int] = (12, 12, 12, 12)  # ignored (no up path); config parity
     irreps_mlp_mid: Union[int, Sequence[int]] = 3
     alpha_drop: Union[float, Sequence[float]] = 0.1
     proj_drop: Union[float, Sequence[float]] = 0.0

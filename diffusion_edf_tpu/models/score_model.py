@@ -49,6 +49,7 @@ def _build_head(score_head_kwargs: Dict, irreps_input: Irreps, irreps_query: Irr
         irreps_query_edf=Irreps(irreps_query),
         lin_mult=float(kw.pop("lin_mult")),
         ang_mult=float(kw.pop("ang_mult")),
+        time_enc_n=float(kw.pop("time_enc_n", 10000.0)),
         edge_time_encoding=bool(kw.pop("edge_time_encoding")),
         query_time_encoding=bool(kw.pop("query_time_encoding")),
         query_shard_axes=tuple(qsa) if qsa else None,

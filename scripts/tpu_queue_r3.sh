@@ -1,0 +1,16 @@
+#!/bin/bash
+# Sequential TPU work queue (round 3): one chip, jobs must not overlap.
+set -x
+cd /root/repo
+python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir runs/pick_r3d/checkpoint/3000 \
+  --task-type pick --splits --synthetic-demos 30 --n-seeds 10 \
+  --out reports/eval_pick_lowres.json
+python tools/export_params.py runs/pick_r3d/checkpoint/3000 \
+  --out checkpoints/panda_mug/pick_lowres.npz --f16 \
+  --meta '{"run": "pick_r3d", "epoch": 3000, "demos": "30 diverse (r3)", "round": 3}'
+python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --task-type place --synthetic-demos 30 --diverse --max-epochs 1400 \
+  --eval-every 200 --eval-demos 6 --log-name place_r3d

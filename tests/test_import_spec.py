@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG = os.path.join(REPO, "diffusion_edf_tpu", "configs", "panda_mug")
 
 FAMILIES = ["pick_lowres", "pick_highres", "pick_ebm", "place_lowres", "place_ebm"]
+SAPIEN_FAMILIES = ["pick_lowres", "place_lowres", "pick_highres"]
 
 
 def _model_cfg(family):
@@ -41,6 +42,16 @@ def _model_cfg(family):
 @pytest.mark.parametrize("family", FAMILIES)
 def test_spec_round_trip_key_coverage(family):
     model_cfg = _model_cfg(family)
+    spec = generate_spec(model_cfg)
+    assert synth_check(spec, model_cfg, verbose=False), family
+
+
+@pytest.mark.parametrize("family", SAPIEN_FAMILIES)
+def test_spec_round_trip_key_coverage_sapien(family):
+    """PointAttentiveScoreModel (sapien) + ForwardOnly highres coverage."""
+    from diffusion_edf_tpu.train.trainer import load_configs
+
+    _, _, model_cfg = load_configs(os.path.join(REPO, "diffusion_edf_tpu", "configs", "sapien", family))
     spec = generate_spec(model_cfg)
     assert synth_check(spec, model_cfg, verbose=False), family
 

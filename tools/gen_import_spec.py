@@ -366,19 +366,28 @@ def score_head_entries(tp: str, fp: str, kw: dict, irreps_key, irreps_query,
 
 
 def generate_spec(model_cfg: dict) -> List[dict]:
-    """Full spec for a ``MultiscaleScoreModel`` config
-    (``multiscale_score_model.py:34-109`` module tree)."""
-    assert model_cfg["model_name"] == "MultiscaleScoreModel", model_cfg["model_name"]
+    """Full spec for a ``MultiscaleScoreModel`` or ``PointAttentiveScoreModel``
+    config (``multiscale_score_model.py:34-109`` /
+    ``point_attentive_score_model.py:23-99`` module trees)."""
     mk = model_cfg["model_kwargs"]
-    fe_name = mk["key_kwargs"]["feature_extractor_name"]
-    fe_kw = mk["key_kwargs"]["feature_extractor_kwargs"]
     e: List[dict] = []
-    if fe_name == "UnetFeatureExtractor":
-        e += unet_entries("key_model.", "key_model", fe_kw)
-    elif fe_name == "ForwardOnlyFeatureExtractor":
-        e += forward_only_entries("key_model.", "key_model", fe_kw)
+    if model_cfg["model_name"] == "PointAttentiveScoreModel":
+        # key model IS a KeypointExtractor (point-attention weights feed
+        # use_src_point_attn in the head)
+        e += keypoint_extractor_entries("key_model.", "key_model", mk["key_kwargs"])
+        key_out = Irreps(mk["key_kwargs"]["tensor_field_kwargs"]["irreps_output"])
+    elif model_cfg["model_name"] == "MultiscaleScoreModel":
+        fe_name = mk["key_kwargs"]["feature_extractor_name"]
+        fe_kw = mk["key_kwargs"]["feature_extractor_kwargs"]
+        if fe_name == "UnetFeatureExtractor":
+            e += unet_entries("key_model.", "key_model", fe_kw)
+        elif fe_name == "ForwardOnlyFeatureExtractor":
+            e += forward_only_entries("key_model.", "key_model", fe_kw)
+        else:
+            raise ValueError(fe_name)
+        key_out = Irreps(fe_kw["irreps_output"])
     else:
-        raise ValueError(fe_name)
+        raise ValueError(model_cfg["model_name"])
     if mk["query_model"] == "StaticKeypointModel":
         qk = mk["query_kwargs"]
         e.append(_e("static_keypoint", "query_model", torch="query_model.",
@@ -393,7 +402,7 @@ def generate_spec(model_cfg: dict) -> List[dict]:
         raise ValueError(mk["query_model"])
     sh_kw = mk["score_head_kwargs"]
     e += score_head_entries("score_head.", "score_head", sh_kw,
-                            irreps_key=Irreps(fe_kw["irreps_output"]),
+                            irreps_key=key_out,
                             irreps_query=irreps_query,
                             ebm=bool(sh_kw.get("ebm", False)))
     return e
