@@ -1,0 +1,27 @@
+#!/bin/bash
+# TPU queue stage 2: place eval/export -> pick_highres train -> cascade eval.
+set -x
+cd /root/repo
+PLACE_CKPT=$1   # e.g. runs/place_r3d/checkpoint/1400
+python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --checkpoint-dir "$PLACE_CKPT" \
+  --task-type place --splits --synthetic-demos 30 --n-seeds 10 \
+  --out reports/eval_place_lowres.json
+python tools/export_params.py "$PLACE_CKPT" \
+  --out checkpoints/panda_mug/place_lowres.npz --f16 \
+  --meta '{"run": "place_r3d", "demos": "30 diverse (r3)", "round": 3}'
+python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --task-type pick --synthetic-demos 30 --diverse --max-epochs 2500 \
+  --eval-every 500 --eval-demos 6 --log-name pick_hr_r3
+python tools/export_params.py runs/pick_hr_r3/checkpoint/2500 \
+  --out checkpoints/panda_mug/pick_highres.npz --f16 \
+  --meta '{"run": "pick_hr_r3", "demos": "30 diverse (r3)", "round": 3}'
+python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --task-type pick --splits --synthetic-demos 30 --n-seeds 10 \
+  --out reports/eval_pick_cascade.json

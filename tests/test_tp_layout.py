@@ -1,0 +1,93 @@
+"""Component-major DTP layout equivalences (the r3 TPU layout rework).
+
+Every fast-path layout variant must reproduce the generic per-instruction
+einsum loop exactly (f32 matmul precision pinned — this JAX build's CPU f32
+dot defaults to bf16-grade precision).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.nn.layers import Gate, IrrepsLinear, irreps2gate
+from diffusion_edf_tpu.nn.tp import (
+    apply_dtp,
+    apply_dtp_cm,
+    cm_input_perm,
+    dtp_instructions,
+    im_perm,
+)
+
+IRR = Irreps("8x0e+4x1e+2x2e")
+SH = Irreps("1x0e+1x1e+1x2e")
+
+
+def _rand(prog, batch=(5,), seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x1 = jax.random.normal(k1, batch + (prog.irreps_in1.dim,))
+    x2 = jax.random.normal(k2, batch + (prog.irreps_in2.dim,))
+    w = jax.random.normal(k3, batch + (prog.weight_numel,))
+    return x1, x2, w
+
+
+def test_cm_matches_generic():
+    prog = dtp_instructions(IRR, SH, IRR)
+    x1, x2, w = _rand(prog)
+    with jax.default_matmul_precision("float32"):
+        ref = apply_dtp(prog, x1, x2, w)
+        cm = apply_dtp_cm(prog, x1, x2, w)
+    perm = np.asarray(cm_input_perm(prog))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    np.testing.assert_allclose(np.asarray(cm[..., inv]), np.asarray(ref), atol=2e-5)
+
+
+def test_cm_shared_weight_and_im_input():
+    prog = dtp_instructions(IRR, SH, IRR)
+    x1, x2, _ = _rand(prog, seed=1)
+    w = jax.random.normal(jax.random.PRNGKey(9), (prog.weight_numel,))
+    imp = np.asarray(im_perm(IRR))
+    x1_im = x1[..., imp]  # given[m] = canonical[im_perm[m]]
+    with jax.default_matmul_precision("float32"):
+        a = apply_dtp_cm(prog, x1, x2, w)
+        b = apply_dtp_cm(prog, x1_im, x2, w, x1_component_major=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_irreps_linear_input_output_perms():
+    irr_out = Irreps("6x0e+3x1e")
+    lin = IrrepsLinear(IRR, irr_out)
+    x = jax.random.normal(jax.random.PRNGKey(0), (7, IRR.dim))
+    params = lin.init(jax.random.PRNGKey(1), x)
+    with jax.default_matmul_precision("float32"):
+        y = lin.apply(params, x)
+        # input_perm: feed a permuted input, same params
+        perm_in = tuple(np.random.RandomState(0).permutation(IRR.dim).tolist())
+        lin_p = IrrepsLinear(IRR, irr_out, input_perm=perm_in)
+        y_p = lin_p.apply(params, x[..., np.asarray(perm_in)])
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y), atol=1e-5)
+        # output_perm: same params, permuted output lanes
+        perm_out = tuple(np.random.RandomState(1).permutation(irr_out.dim).tolist())
+        lin_o = IrrepsLinear(IRR, irr_out, output_perm=perm_out)
+        y_o = lin_o.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_o), np.asarray(y)[..., np.asarray(perm_out)], atol=1e-5)
+
+
+def test_gate_component_major_matches_canonical():
+    s, g, t = irreps2gate(IRR)
+    gate_in = (s + g + t).simplify()
+    x = jax.random.normal(jax.random.PRNGKey(2), (9, gate_in.dim))
+    canon = Gate(irreps_scalars=s, irreps_gates=g, irreps_gated=t)
+    cm = Gate(irreps_scalars=s, irreps_gates=g, irreps_gated=t, component_major=True)
+    y0 = canon.apply({}, x)
+    # build the i-major-gated input: scalar+gate lanes unchanged (d == 1),
+    # gated block lanes permuted by im_perm(t)
+    sd, gd = s.dim, g.dim
+    tp = np.asarray(im_perm(t))
+    x_cm = jnp.concatenate([x[..., : sd + gd], x[..., sd + gd :][..., tp]], -1)
+    y1 = cm.apply({}, x_cm)
+    # output: scalars unchanged, gated block im-permuted
+    out_t = np.asarray(y0)[..., sd:][..., tp]
+    np.testing.assert_allclose(np.asarray(y1)[..., sd:], out_t, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1)[..., :sd], np.asarray(y0)[..., :sd], atol=1e-6)
