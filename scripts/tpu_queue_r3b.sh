@@ -13,9 +13,9 @@ python tools/export_params.py "$PLACE_CKPT" \
   --meta '{"run": "place_r3d", "demos": "30 diverse (r3)", "round": 3}'
 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
-  --task-type pick --synthetic-demos 30 --diverse --max-epochs 2500 \
+  --task-type pick --synthetic-demos 30 --diverse --max-epochs 2000 \
   --eval-every 500 --eval-demos 6 --log-name pick_hr_r3
-python tools/export_params.py runs/pick_hr_r3/checkpoint/2500 \
+python tools/export_params.py runs/pick_hr_r3/checkpoint/2000 \
   --out checkpoints/panda_mug/pick_highres.npz --f16 \
   --meta '{"run": "pick_hr_r3", "demos": "30 diverse (r3)", "round": 3}'
 python -m diffusion_edf_tpu.eval \
@@ -23,5 +23,7 @@ python -m diffusion_edf_tpu.eval \
   --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
   --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
   --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm.npz \
   --task-type pick --splits --synthetic-demos 30 --n-seeds 10 \
   --out reports/eval_pick_cascade.json
