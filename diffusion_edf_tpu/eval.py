@@ -184,13 +184,18 @@ def evaluate_agent(
             exec_trans.append(errs["trans_err"][0])
             exec_rot.append(errs["rot_err_deg"][0])
             # energy-vs-error calibration: rank correlation within the demo
-            # (does low energy really mean a better pose?)
+            # (does low energy really mean a better pose?).  scipy spearmanr
+            # average-ranks ties; a degenerate constant-energy critic is
+            # recorded as 0 rather than a tie-broken noise correlation
+            # (ADVICE r3 item 2)
+            from scipy.stats import spearmanr
+
             e = np.asarray(info["energy"]).reshape(-1)
             err = errs["trans_err"] + errs["rot_err_deg"] * (0.2)  # cm + 0.2cm/deg
-            re_, rr_ = np.argsort(np.argsort(e)), np.argsort(np.argsort(err))
-            n = len(e)
-            if n > 2 and err.std() > 0:
-                calib_corrs.append(float(np.corrcoef(re_, rr_)[0, 1]))
+            if len(e) >= 5 and err.std() > 0:
+                calib_corrs.append(
+                    0.0 if e.std() == 0 else float(spearmanr(e, err).statistic)
+                )
         per_demo.append(
             {
                 "demo": getattr(demo, "name", str(di)),

@@ -121,10 +121,18 @@ class EquiformerBlock(nn.Module):
         # Both message linears emit the i-major lane order (free: the
         # permutation is folded into their weight columns at trace time), so
         # the gathered (Nd, K, F) message feeds the attention DTP's
-        # component-major fast path with contiguous lane slices.
+        # component-major fast path with contiguous lane slices.  When the
+        # fused attention core is active it consumes the CANONICAL layout —
+        # emit that directly rather than paying a runtime jnp.take gather
+        # over the full (Nd, K, F) message inside GraphAttention (ADVICE r3
+        # item 4; the perm lives in the linear weights either way, so this
+        # is free at runtime and the param tree is unchanged).
+        import os
+
         from .tp import im_perm
 
-        msg_perm = im_perm(irreps_emb)
+        fused_active = bool(os.environ.get("DIFFUSION_EDF_TPU_FUSED")) and self.alpha_drop == 0.0
+        msg_perm = None if fused_active else im_perm(irreps_emb)
         msg_src = EquivariantLayerNorm(irreps=irreps_src, name="prenorm_src")(src.f)
         msg_src = IrrepsLinear(
             irreps_src, irreps_emb, use_bias=not self.use_dst_feature,
@@ -154,7 +162,7 @@ class EquiformerBlock(nn.Module):
             irreps_head=self.irreps_head,
             alpha_drop=self.alpha_drop,
             proj_drop=self.proj_drop,
-            message_component_major=True,
+            message_component_major=not fused_active,
             scene_axis_name=self.scene_axis_name,
             name="ga",
         )(

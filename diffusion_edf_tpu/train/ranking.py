@@ -1,0 +1,118 @@
+"""Critic ranking loss: make the EBM's energy ORDER poses by quality.
+
+The reference trains its EBM critic purely by denoising score matching at a
+single small time (``configs/panda_mug/pick_ebm/train_configs.yaml``
+``time_schedules: [[0.03, 0.03]]``) and ranks final agent samples by energy
+(``agent.py:163-174``).  Score matching only constrains the LOCAL gradient of
+the energy at the noise scale it trains at: measured on the r3 critic
+(``tools/diag_critic.py``) the learned landscape was nearly flat — the total
+energy rise from the target pose to 16 cm away was ~3% of the base energy and
+the 0-2 cm band (where cascade samples live) was indistinguishable from
+direction noise, so energy-vs-error rank correlation was ~0.05 (VERDICT r3
+weak #1).  DSM at one noise scale also leaves the relative depths of
+separated modes unconstrained, so spurious sampler modes rank arbitrarily.
+
+This module adds the missing global constraint: a pairwise logistic RANKING
+loss over constructed perturbations of the demo target with known badness.
+Per step we draw poses at log-uniform translation/rotation magnitudes
+(composed with the true target at badness 0) and require the energy ordering
+to match the badness ordering — exactly the statistic the agent consumes
+(``eval.py`` ``energy_error_spearman``; badness uses the same
+``trans_cm + 0.2 * rot_deg`` combination).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import so3
+
+__all__ = ["RankConfig", "sample_ranked_poses", "rank_loss"]
+
+
+class RankConfig(NamedTuple):
+    """Knobs for the critic ranking loss (train_configs.yaml
+    ``critic_rank_configs``; applied only to EBM models, default ON)."""
+
+    weight: float = 1.0
+    n_negatives: int = 32
+    trans_range_cm: Tuple[float, float] = (0.1, 8.0)
+    rot_range_deg: Tuple[float, float] = (0.5, 45.0)
+    badness_rot_weight: float = 0.2  # cm-equivalent per degree (eval combo)
+    tau: float = 0.1  # energy scale of the pairwise logistic
+    min_gap: float = 0.25  # cm-equivalent badness gap below which a pair is not ranked
+
+    @classmethod
+    def from_dict(cls, d) -> "RankConfig":
+        d = dict(d or {})
+        unknown = set(d) - set(cls._fields)
+        if unknown:
+            raise ValueError(f"unknown critic_rank_configs keys: {sorted(unknown)}")
+        for k in ("trans_range_cm", "rot_range_deg"):
+            if k in d:
+                d[k] = tuple(float(v) for v in d[k])
+        return cls(**d)
+
+
+def _log_uniform(key, lo: float, hi: float, n: int, dtype):
+    u = jax.random.uniform(key, (n,), dtype=dtype)
+    return jnp.exp(jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo)))
+
+
+def sample_ranked_poses(
+    key: jax.Array, T_target: jnp.ndarray, cfg: RankConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build ``1 + n_negatives`` poses with known badness.
+
+    ``T_target``: (7,) the (augmented) demo target in model units (cm).
+    Returns ``(Ts (1+n, 7), badness (1+n,))`` — index 0 is the target itself
+    (badness 0).  Each negative perturbs BOTH rotation (random axis,
+    log-uniform angle) and translation (random direction, log-uniform length),
+    so small-magnitude draws act as near-pure single-factor perturbations and
+    the badness range is covered densely in log space.
+    """
+    n = cfg.n_negatives
+    dtype = T_target.dtype
+    kt, kr, kd, ka = jax.random.split(key, 4)
+    mag_t = _log_uniform(kt, cfg.trans_range_cm[0], cfg.trans_range_cm[1], n, dtype)
+    mag_r_deg = _log_uniform(kr, cfg.rot_range_deg[0], cfg.rot_range_deg[1], n, dtype)
+
+    dirs = jax.random.normal(kd, (n, 3), dtype)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-9)
+    axes = jax.random.normal(ka, (n, 3), dtype)
+    axes = axes / jnp.linalg.norm(axes, axis=-1, keepdims=True).clip(1e-9)
+
+    dq = so3.axis_angle_to_quaternion(axes * jnp.deg2rad(mag_r_deg)[:, None])
+    q = so3.quaternion_multiply(dq, jnp.broadcast_to(T_target[None, :4], (n, 4)))
+    x = T_target[None, 4:] + dirs * mag_t[:, None]
+
+    Ts = jnp.concatenate([T_target[None], jnp.concatenate([q, x], axis=-1)], axis=0)
+    badness = jnp.concatenate(
+        [jnp.zeros((1,), dtype), mag_t + cfg.badness_rot_weight * mag_r_deg]
+    )
+    return Ts, badness
+
+
+def rank_loss(
+    energies: jnp.ndarray, badness: jnp.ndarray, cfg: RankConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise logistic ranking loss.
+
+    For every pose pair with ``badness_j > badness_i + min_gap`` the loss
+    pushes ``E_i < E_j`` via ``softplus((E_i - E_j)/tau)``, weighted by the
+    badness gap (``tanh(gap/2)`` — gross misorderings matter more than
+    near-ties).  Returns ``(loss, pair_accuracy)`` where pair_accuracy is the
+    fraction of ranked pairs already correctly ordered (1.0 = the energy is a
+    perfect rank statistic on this draw).
+    """
+    dE = (energies[:, None] - energies[None, :]) / cfg.tau  # E_i - E_j
+    db = badness[None, :] - badness[:, None]  # b_j - b_i
+    w = jnp.where(db > cfg.min_gap, jnp.tanh(db / 2.0), 0.0)
+    denom = jnp.maximum(jnp.sum(w), 1e-6)
+    loss = jnp.sum(w * jax.nn.softplus(dE)) / denom
+    acc = jnp.sum(jnp.where(db > cfg.min_gap, 1.0, 0.0) * (dE < 0)) / jnp.maximum(
+        jnp.sum(jnp.where(db > cfg.min_gap, 1.0, 0.0)), 1e-6
+    )
+    return loss, acc

@@ -115,3 +115,76 @@ def test_train_loop_and_checkpoint(cfg_dir, tmp_path):
 
     # metrics file exists
     assert os.path.exists(os.path.join(tr.log_dir, "metrics.jsonl"))
+
+
+def test_rank_loss_units():
+    """sample_ranked_poses produces poses at exactly the drawn badness, and
+    rank_loss rewards correct energy ordering."""
+    import jax.numpy as jnp
+
+    from diffusion_edf_tpu.train.ranking import RankConfig, rank_loss, sample_ranked_poses
+
+    cfg = RankConfig(n_negatives=16)
+    T = jnp.asarray([1.0, 0, 0, 0, 5.0, -3.0, 2.0])
+    Ts, b = sample_ranked_poses(jax.random.PRNGKey(0), T, cfg)
+    assert Ts.shape == (17, 7) and b.shape == (17,)
+    np.testing.assert_allclose(np.asarray(Ts[0]), np.asarray(T))
+    assert float(b[0]) == 0.0
+    # badness decomposes into the actual trans/rot magnitudes
+    trans = np.linalg.norm(np.asarray(Ts[1:, 4:]) - np.asarray(T[4:]), axis=-1)
+    q = np.asarray(Ts[1:, :4])
+    dots = np.abs(q @ np.asarray(T[:4]))
+    rot_deg = 2 * np.degrees(np.arccos(np.clip(dots, -1, 1)))
+    np.testing.assert_allclose(
+        np.asarray(b[1:]), trans + cfg.badness_rot_weight * rot_deg, rtol=1e-3
+    )
+    # perfectly ordered energies -> low loss + pair_acc 1; inverted -> high
+    e_good = b * 1.0
+    e_bad = -b
+    lg, accg = rank_loss(e_good, b, cfg)
+    lb, accb = rank_loss(e_bad, b, cfg)
+    assert float(accg) == 1.0 and float(accb) == 0.0
+    assert float(lg) < float(lb)
+
+
+def test_ebm_trainer_with_rank_loss(tmp_path):
+    """EBM critic training: combined DSM + ranking loss compiles, runs, and
+    the rank pair-accuracy becomes learnable (loss finite, stats present).
+    Uses the place task so the symmetry-orbit target augmentation path is
+    exercised too (place demos carry TargetPoseDemo.symmetry)."""
+    d = tmp_path / "cfg"
+    d.mkdir()
+    model = yaml.safe_load(yaml.safe_dump(TINY_MODEL))  # deep copy
+    model["model_kwargs"]["score_head_kwargs"]["ebm"] = True
+    model["model_kwargs"]["score_head_kwargs"]["edge_time_encoding"] = False
+    model["model_kwargs"]["score_head_kwargs"]["query_time_encoding"] = False
+    train_cfg = dict(TRAIN_CFG)
+    train_cfg["diffusion_configs"] = dict(t_augment=None, time_schedules=[[0.03, 0.03]])
+    train_cfg["critic_rank_configs"] = dict(weight=1.0, n_negatives=8)
+    train_cfg["optimizer_kwargs"] = dict(
+        lr=3e-4, grad_clip_norm=1.0, lr_min_factor=0.1, ema_decay=0.9
+    )
+    train_cfg["max_epochs"] = 4
+    with open(d / "train_configs.yaml", "w") as f:
+        yaml.safe_dump(train_cfg, f)
+    with open(d / "task_configs.yaml", "w") as f:
+        yaml.safe_dump(dict(task_type="place", contact_radius=0.02), f)
+    with open(d / "score_model_configs.yaml", "w") as f:
+        yaml.safe_dump(model, f)
+
+    demos = make_synthetic_dataset(n_demos=2, seed=0, n_scene=600, n_grasp=150)
+    assert demos[0][1].symmetry is not None  # place step carries the orbit
+    tr = DiffusionEdfTrainer(
+        str(d), log_dir=str(tmp_path / "run"), n_scene_pad=256, n_grasp_pad=96
+    )
+    assert tr.is_ebm and tr.rank_cfg is not None and tr.ema_decay == 0.9
+    tr.init(demos, jax.random.PRNGKey(0))
+    stats = tr.train_epoch(jax.random.PRNGKey(1))
+    for k in ("loss/train", "rank/loss", "rank/pair_acc", "rank/e_spread"):
+        assert k in stats and np.isfinite(stats[k]), (k, stats.get(k))
+    # ema tracked and differs from params after an update
+    leaves_p = jax.tree_util.tree_leaves(tr.params)
+    leaves_e = jax.tree_util.tree_leaves(tr.ema_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(leaves_p, leaves_e)
+    )

@@ -83,7 +83,7 @@ def main():
     rows = []
     for t in T_GRID:
         acc = []
-        for di, (scene, grasp, T) in enumerate(tr._batches):
+        for di, (scene, grasp, T) in enumerate(b[:3] for b in tr._batches):
             for _ in range(args.n_reps):
                 key, sub = jax.random.split(key)
                 acc.append(np.asarray(profile_jit(tr.params, sub, scene, grasp, T, jnp.float32(t))))

@@ -72,7 +72,7 @@ def main():
     # Accumulate per-tag worst-case stats over demos x random poses spanning
     # the diffusion range (poses far from the target stress different regions).
     agg = {}
-    for di, (scene_fp, grasp_fp, T_target) in enumerate(tr._batches):
+    for di, (scene_fp, grasp_fp, T_target) in enumerate(b[:3] for b in tr._batches):
         key, kq, kx, kt = jax.random.split(key, 4)
         q = jax.random.normal(kq, (args.n_poses, 4))
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

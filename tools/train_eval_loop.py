@@ -1,19 +1,33 @@
 """Train-to-convergence driver with periodic held-out evaluation.
 
-VERDICT round-1 item #1: drive the synthetic-task model to useful angular
-accuracy (held-out median rotation <= 15 deg, translation <= 3 cm) and commit
-the learning curve.  This tool runs the trainer (on-device augmentation
-enabled, ``train/augment.py``) and every ``--eval-every`` epochs checkpoints
-and evaluates on held-out generalization splits
-(``train/synthetic.py::make_split_dataset`` — scenes the trainer never saw),
-appending one JSONL line per eval to ``<log-dir>/learning_curve.jsonl``.
+Runs the trainer (on-device augmentation, ``train/augment.py``) and every
+``--eval-every`` epochs checkpoints and evaluates on held-out generalization
+splits (``train/synthetic.py::make_split_dataset``), appending one JSONL line
+per eval to ``<log-dir>/learning_curve.jsonl``.
+
+Round-4 additions (VERDICT r3 items 1/4):
+
+* **Best-checkpoint selection** — every eval computes a scalar score
+  (default-split success, tie-broken by errors; critic runs use the rank
+  spearman) and the best checkpoint is kept at ``<log-dir>/checkpoint_best``
+  + described in ``<log-dir>/best.json``; ``--export-best X.npz`` ships it
+  as a flat npz artifact at the end.  No more hand-picking epochs.
+* **Cascade-seeded eval** (``--seed-stage-configs/-checkpoint``) — highres
+  refiner models are meaningless to evaluate from random seed poses (they
+  only ever see near-converged poses in the reference cascade,
+  ``agent.py:159-160``); seeding eval with a trained lowres stage makes the
+  learning curve measure what the checkpoint is actually used for.
+* **Critic rank eval** — for EBM models, each eval measures the Spearman
+  rank correlation between energy and known pose badness on perturbation
+  fans around held-out targets (the statistic the agent's ranking consumes,
+  ``eval.py::energy_error_spearman``).
 
 Example::
 
     python tools/train_eval_loop.py \
         --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
-        --task-type pick --synthetic-demos 10 --max-epochs 3000 \
-        --eval-every 100 --log-name pick_r2
+        --task-type pick --synthetic-demos 30 --diverse --max-epochs 3000 \
+        --eval-every 100 --log-name pick_r4 --export-best checkpoints/panda_mug/pick_lowres.npz
 """
 from __future__ import annotations
 
@@ -26,6 +40,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -44,10 +59,25 @@ def main(argv=None):
     p.add_argument("--log-name", default=None)
     p.add_argument("--splits", nargs="*", default=["default", "unseen_poses"])
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed-stage-configs", default=None,
+                   help="config family of a trained FIRST cascade stage (e.g. pick_lowres); "
+                        "eval then runs lowres->this-model cascade")
+    p.add_argument("--seed-stage-checkpoint", default=None,
+                   help="checkpoint (.npz or orbax dir) of the seed stage")
+    p.add_argument("--skip-sampler-eval", action="store_true",
+                   help="critic runs: skip the (slow, secondary) sampling eval; "
+                        "rank spearman is still measured")
+    p.add_argument("--export-best", default=None,
+                   help="write the best checkpoint's params as a flat .npz artifact here")
+    p.add_argument("--train-demo-distractors", type=int, default=None,
+                   help="override: force EVERY training demo to carry this many distractors "
+                        "(clutter curriculum; default = diverse draw)")
     args = p.parse_args(argv)
 
-    from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle, load_model_bundle
     from diffusion_edf_tpu.eval import evaluate_agent
+    from diffusion_edf_tpu.train.ranking import RankConfig, sample_ranked_poses
+    from diffusion_edf_tpu.train.data import TargetPoseDemo, pad_pointcloud
     from diffusion_edf_tpu.train.synthetic import make_split_dataset, make_synthetic_dataset
     from diffusion_edf_tpu.train.trainer import DiffusionEdfTrainer
     from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
@@ -57,17 +87,21 @@ def main(argv=None):
     log_name = args.log_name or f"{args.task_type}_{time.strftime('%m%d-%H%M')}"
     log_dir = os.path.join("runs", log_name)
     tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir=log_dir)
+    mk_kwargs = {}
+    if args.train_demo_distractors is not None:
+        mk_kwargs["n_distractors"] = args.train_demo_distractors
     demos = make_synthetic_dataset(
-        n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse
+        n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse, **mk_kwargs
     )
 
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
-    tr.init(demos, k_init)
+    tr.init(demos, k_init, total_epochs=args.max_epochs)
     if args.resume_from:
         tr.restore(args.resume_from)
         print(f"resumed from {args.resume_from} at epoch {tr.epoch}", flush=True)
-    print(f"model: {tr.model_cfg['model_name']}  params: {tr.n_params():,}", flush=True)
+    print(f"model: {tr.model_cfg['model_name']}  params: {tr.n_params():,}"
+          f"{'  [EBM + rank loss]' if tr.rank_cfg is not None else ''}", flush=True)
 
     # in-process eval agent sharing the trainer's model object; params are a
     # call argument of the cached jitted runtimes, so swapping bundle.params
@@ -81,7 +115,15 @@ def main(argv=None):
         dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
     ]
     unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
-    agent = DiffusionEdfAgent([bundle], preprocess, unprocess)
+    bundles = [bundle]
+    if args.seed_stage_configs:
+        assert args.seed_stage_checkpoint, "--seed-stage-configs needs --seed-stage-checkpoint"
+        seed_bundle = load_model_bundle(
+            args.seed_stage_configs, checkpoint_dir=args.seed_stage_checkpoint,
+            n_scene_pad=tr.n_scene_pad,
+        )
+        bundles = [seed_bundle, bundle]  # trained-under-eval model refines
+    agent = DiffusionEdfAgent(bundles, preprocess, unprocess)
     eval_sets = {
         name: make_split_dataset(name, n_demos=args.eval_demos, seed=args.seed + 1000)
         for name in args.splits
@@ -89,26 +131,99 @@ def main(argv=None):
     curve_path = os.path.join(log_dir, "learning_curve.jsonl")
     os.makedirs(log_dir, exist_ok=True)
 
+    # ---- critic rank eval (EBM models) ----
+    is_ebm = tr.is_ebm
+    if is_ebm:
+        from scipy.stats import spearmanr
+
+        model = tr.model
+        def _energy(m, T, s, g, t):
+            return m.energy(T, m.get_key_pcd_multiscale(s), m.get_query_pcd(g), t)
+
+        energy_fn = jax.jit(
+            lambda p, T, s, g: model.apply(
+                p, T, s, g, jnp.ones((T.shape[0],), T.dtype), method=_energy
+            )
+        )
+        rank_eval_cfg = tr.rank_cfg or RankConfig()
+        step_idx = 0 if args.task_type == "pick" else 1
+        # clean (deterministic) eval preprocess — the trainer's own proc_fn
+        # carries the stochastic jitter/hsl train pipeline
+        from diffusion_edf_tpu.train.data import compose_proc_fn
+
+        eval_proc = compose_proc_fn(preprocess)
+        rank_demos = {}
+        for name, dset in eval_sets.items():
+            prepped = []
+            for seq in dset:
+                d = eval_proc(TargetPoseDemo(
+                    scene_pcd=seq[step_idx].scene_pcd, grasp_pcd=seq[step_idx].grasp_pcd,
+                    target_poses=seq[step_idx].target_poses))
+                prepped.append((
+                    pad_pointcloud(d.scene_pcd, tr.n_scene_pad),
+                    pad_pointcloud(d.grasp_pcd, tr.n_grasp_pad),
+                    jnp.asarray(d.target_poses[0]),
+                ))
+            rank_demos[name] = prepped
+
+        def rank_spearman(params, name):
+            corrs = []
+            for di, (scene, grasp, T) in enumerate(rank_demos[name]):
+                Ts, b = sample_ranked_poses(
+                    jax.random.PRNGKey(9000 + di), T, rank_eval_cfg._replace(n_negatives=48)
+                )
+                e = np.asarray(energy_fn(params, Ts, scene, grasp))
+                if np.std(e) == 0:
+                    corrs.append(0.0)
+                    continue
+                corrs.append(float(spearmanr(e, np.asarray(b)).statistic))
+            return float(np.mean(corrs))
+
+    best = {"score": -np.inf, "epoch": -1}
+    best_path = os.path.join(log_dir, "checkpoint_best")
+
     def run_eval():
         bundle.params = tr.params
         rec = {"epoch": tr.epoch, "steps": tr.steps, "wall_s": round(time.time() - t0, 1)}
         for name, dset in eval_sets.items():
-            r = evaluate_agent(
-                agent, dset, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed
-            )
-            rec[name] = {
-                "trans_cm_median": r["trans_err_cm"]["median"],
-                "rot_deg_median": r["rot_err_deg"]["median"],
-                "success": r["success_rate"],
-                "best_success": r["best_sample_success_rate"],
-            }
-            print(
-                f"  eval[{name}] @epoch {tr.epoch}: trans {r['trans_err_cm']['median']:.2f} cm  "
-                f"rot {r['rot_err_deg']['median']:.1f} deg  success {r['success_rate']:.2f}",
-                flush=True,
-            )
+            if not (is_ebm and args.skip_sampler_eval):
+                r = evaluate_agent(
+                    agent, dset, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed
+                )
+                rec[name] = {
+                    "trans_cm_median": r["trans_err_cm"]["median"],
+                    "rot_deg_median": r["rot_err_deg"]["median"],
+                    "success": r["success_rate"],
+                    "best_success": r["best_sample_success_rate"],
+                }
+                print(
+                    f"  eval[{name}] @epoch {tr.epoch}: trans {r['trans_err_cm']['median']:.2f} cm  "
+                    f"rot {r['rot_err_deg']['median']:.1f} deg  success {r['success_rate']:.2f}",
+                    flush=True,
+                )
+            if is_ebm:
+                sp = rank_spearman(tr.params, name)
+                rec.setdefault(name, {})["rank_spearman"] = sp
+                print(f"  eval[{name}] @epoch {tr.epoch}: rank_spearman {sp:.3f}", flush=True)
         with open(curve_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+        # scalar model-selection score
+        d0 = rec.get(args.splits[0], {})
+        if is_ebm:
+            score = float(np.mean([rec[n]["rank_spearman"] for n in eval_sets if n in rec]))
+        elif "success" in d0:
+            score = d0["success"] - 0.001 * (
+                d0["trans_cm_median"] + 0.2 * d0["rot_deg_median"]
+            )
+        else:
+            score = -np.inf
+        if score > best["score"] and tr.epoch > 0:
+            best.update(score=score, epoch=tr.epoch, record={k: v for k, v in rec.items()})
+            tr.save(best_path)
+            with open(os.path.join(log_dir, "best.json"), "w") as f:
+                json.dump(best, f, indent=1, default=float)
+            print(f"  new best @epoch {tr.epoch} (score {score:.4f}) -> {best_path}", flush=True)
         return rec
 
     t0 = time.time()
@@ -117,17 +232,34 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         stats = tr.train_epoch(sub)
         if tr.epoch % 25 == 0 or tr.epoch == 1:
+            extra = (f" rank_acc {stats['rank/pair_acc']:.3f} e_spread {stats['rank/e_spread']:.3f}"
+                     if "rank/pair_acc" in stats else "")
             print(
                 f"epoch {tr.epoch:4d}  loss {stats['loss/train']:.4f} "
                 f"(ang {stats['loss/angular']:.4f} lin {stats['loss/linear']:.4f}) "
-                f"align_ang {stats.get('alignment/normalized/ang', float('nan')):.3f} "
-                f"{time.time() - t0:.1f}s",
+                f"align_ang {stats.get('alignment/normalized/ang', float('nan')):.3f}"
+                f"{extra} {time.time() - t0:.1f}s",
                 flush=True,
             )
         if tr.epoch % args.eval_every == 0 or tr.epoch == args.max_epochs:
             path = tr.save()
             print(f"checkpoint -> {path}", flush=True)
             run_eval()
+
+    if args.export_best and best["epoch"] > 0:
+        from export_params import flatten
+
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(best_path))
+        flat = flatten(restored.get("params", restored))
+        flat = {k: v.astype(np.float16) if v.dtype == np.float32 else v
+                for k, v in flat.items()}
+        meta = dict(log_name=log_name, best_epoch=best["epoch"], score=best["score"])
+        flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        os.makedirs(os.path.dirname(os.path.abspath(args.export_best)), exist_ok=True)
+        np.savez_compressed(args.export_best, **flat)
+        print(f"exported best (epoch {best['epoch']}) -> {args.export_best}", flush=True)
     print("done", flush=True)
 
 
