@@ -99,7 +99,12 @@ class GraphAttention(nn.Module):
     # max-subtraction constant, psum of the exp-sum denominator, psum of the
     # per-head weighted value sums.  The `null` (dense) scale becomes
     # blockwise dense attention for free (its local edges cover the local
-    # block).  Exact semantics of the replicated path up to summation order.
+    # block).  Semantics match the replicated path (up to summation order)
+    # whenever the search RADIUS binds; when the per-scale k cap binds, each
+    # shard keeps its local nearest-k so the union attends MORE in-radius
+    # edges than the replicated global top-k (shard-count-dependent superset
+    # — see parallel/sharded.py::scene_sharded_score_fn for the full
+    # exactness contract and cap sizing).
     scene_axis_name: Optional[str] = None
 
     @nn.compact

@@ -312,20 +312,37 @@ TRAIN_MAX_DISTRACTORS = 2
 
 
 def make_synthetic_dataset(
-    n_demos: int = 10, seed: int = 0, diverse: bool = False, **kwargs
+    n_demos: int = 10,
+    seed: int = 0,
+    diverse: bool = False,
+    clutter_heavy: bool = False,
+    **kwargs,
 ) -> List[DemoSequence]:
     """Training demo set.  ``diverse=True`` draws per-demo mug scale / pole
     tilt / clutter from the TRAIN_* ranges (the r3 training distribution);
-    ``False`` keeps the legacy fixed factors."""
+    ``False`` keeps the legacy fixed factors.
+
+    ``clutter_heavy`` reweights the per-demo distractor draw toward the top
+    of the training range (r4 clutter curriculum, VERDICT r3 item 5: the
+    r3 draw left half the demos clutter-free and the distractors split
+    collapsed to 0.28).  The split definitions (``SPLITS``) are unchanged —
+    the distractors split still tests count extrapolation beyond
+    ``TRAIN_MAX_DISTRACTORS``.
+    """
     if not diverse:
         return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]
     rng = np.random.default_rng(seed + 313)
+    clutter_draw = (
+        [1, TRAIN_MAX_DISTRACTORS, TRAIN_MAX_DISTRACTORS, TRAIN_MAX_DISTRACTORS]
+        if clutter_heavy
+        else [0, 0, 1, TRAIN_MAX_DISTRACTORS]
+    )
     out = []
     for i in range(n_demos):
         o = dict(kwargs)
         o.setdefault("shape_scale", float(rng.uniform(*TRAIN_SCALE_RANGE)))
         o.setdefault("tilt", float(rng.uniform(*TRAIN_TILT_RANGE)))
-        o.setdefault("n_distractors", int(rng.choice([0, 0, 1, TRAIN_MAX_DISTRACTORS])))
+        o.setdefault("n_distractors", int(rng.choice(clutter_draw)))
         out.append(make_synthetic_demo(seed + i, **o))
     return out
 

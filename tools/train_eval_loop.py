@@ -72,6 +72,15 @@ def main(argv=None):
     p.add_argument("--train-demo-distractors", type=int, default=None,
                    help="override: force EVERY training demo to carry this many distractors "
                         "(clutter curriculum; default = diverse draw)")
+    p.add_argument("--clutter-heavy", action="store_true",
+                   help="reweight the diverse per-demo distractor draw toward the top of "
+                        "the training range (r4 clutter curriculum)")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="override optimizer_kwargs.grad_clip_norm")
+    p.add_argument("--lr-min-factor", type=float, default=None,
+                   help="override optimizer_kwargs.lr_min_factor (cosine decay floor)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="override optimizer_kwargs.ema_decay")
     args = p.parse_args(argv)
 
     from diffusion_edf_tpu.agent import DiffusionEdfAgent, ModelBundle, load_model_bundle
@@ -87,11 +96,18 @@ def main(argv=None):
     log_name = args.log_name or f"{args.task_type}_{time.strftime('%m%d-%H%M')}"
     log_dir = os.path.join("runs", log_name)
     tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir=log_dir)
+    if args.grad_clip_norm is not None:
+        tr.opt_kwargs["grad_clip_norm"] = args.grad_clip_norm
+    if args.lr_min_factor is not None:
+        tr.opt_kwargs["lr_min_factor"] = args.lr_min_factor
+    if args.ema_decay is not None:
+        tr.ema_decay = args.ema_decay
     mk_kwargs = {}
     if args.train_demo_distractors is not None:
         mk_kwargs["n_distractors"] = args.train_demo_distractors
     demos = make_synthetic_dataset(
-        n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse, **mk_kwargs
+        n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse,
+        clutter_heavy=args.clutter_heavy, **mk_kwargs
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -208,12 +224,16 @@ def main(argv=None):
         with open(curve_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-        # scalar model-selection score
+        # scalar model-selection score: mean success over ALL evaluated
+        # splits (selecting on the default split alone picks checkpoints
+        # that have silently regressed on distractors/instances), errors on
+        # the first split as tie-break
         d0 = rec.get(args.splits[0], {})
         if is_ebm:
             score = float(np.mean([rec[n]["rank_spearman"] for n in eval_sets if n in rec]))
         elif "success" in d0:
-            score = d0["success"] - 0.001 * (
+            succs = [rec[n]["success"] for n in eval_sets if "success" in rec.get(n, {})]
+            score = float(np.mean(succs)) - 0.001 * (
                 d0["trans_cm_median"] + 0.2 * d0["rot_deg_median"]
             )
         else:
