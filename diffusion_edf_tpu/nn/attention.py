@@ -170,66 +170,77 @@ class GraphAttention(nn.Module):
                 H, mul_alpha, mul_alpha_head, deterministic,
             )
 
-        cm = cm_eligible(dtp1.program)
-        msg2 = message.reshape(nd * nk, -1)
-        attr2 = edge_attr.reshape(nd * nk, -1)
-        mid = dtp1(
-            msg2, attr2, w2, component_major=cm,
-            x_component_major=self.message_component_major,
-        )  # (Nd*K, F_dtp)
-
-        # --- alpha + value linears merged into ONE matmul on the DTP output
-        # (the reference's sep_alpha and sep_act.lin read the same tensor,
-        # ``graph_attention.py:233-235``); the value part is emitted i-major
-        # so the second DTP reads it contiguously ---
-        s, g, t = irreps2gate(irreps_mid)
-        val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
-        # gate-output-as-irreps_mid requires the entry orders to line up
-        # (scalars first); true for every sorted irreps config in the tree
-        assert tuple(Irreps(list(s) + list(t))) == tuple(irreps_mid), (s, t, irreps_mid)
-        out_perm = tuple(range(mul_alpha)) + tuple(
-            mul_alpha + p for p in im_perm(val_out_irreps)
-        )
-        combined = IrrepsLinear(
-            dtp1.irreps_out,
-            Irreps(f"{mul_alpha}x0e") + val_out_irreps,
-            input_perm=cm_input_perm(dtp1.program) if cm else None,
-            output_perm=out_perm,
-            name="sep_alpha_value",
-        )(mid)
-        la = combined[..., :mul_alpha]
-        val_pre = combined[..., mul_alpha:]  # i-major val_out_irreps
-        la = smooth_leaky_relu(la) * smooth_leaky_relu_norm()
-        alpha_dot = self.param(
-            "alpha_dot",
-            nn.initializers.xavier_uniform(),
-            (H, mul_alpha_head),
-            message.dtype,
-        )
-        # per-head dot as ONE matmul with a block-diagonal (mul_alpha, H)
-        # matrix, emitting the (Nd, H, K) orientation directly (K in lanes —
-        # an (Nd, K, H) tensor would pad H to 128 lanes, ~64x waste)
-        Dmat = jnp.zeros((mul_alpha, H), message.dtype)
-        for h in range(H):
-            Dmat = Dmat.at[h * mul_alpha_head : (h + 1) * mul_alpha_head, h].set(alpha_dot[h])
-        log_alpha = jnp.einsum("nkm,mh->nhk", la.reshape(nd, nk, mul_alpha), Dmat)  # (Nd, H, K)
-
-        # --- value branch: gate -> second DTP (internal weights) ---
-        if g.dim == 0:
-            val = scalar_silu(val_pre)
+        if fused in ("edge", "edge_interpret", "edge_xla") and not drop_active:
+            # fully-2D fused edge kernel (nn/edge_kernel.py): the whole
+            # [DTP1 -> alpha/value linear -> logits -> gate -> DTP2 -> value
+            # linear] segment runs per row tile in VMEM; only logits + val
+            # touch HBM.  Same params; softmax tail below is shared.
+            log_alpha, val = self._edge_kernel_branch(
+                message, edge_attr, w2, dtp1,
+                irreps_input, irreps_mid, irreps_edge, irreps_attn,
+                H, mul_alpha, mul_alpha_head, nd, nk, mode=fused,
+            )
         else:
-            val = GateFromIrreps(irreps_out=irreps_mid, component_major=True)(val_pre)
-        val = SeparableFCTP(
-            irreps_in=irreps_mid,
-            irreps_edge=irreps_edge,
-            irreps_out=irreps_attn,
-            fc_neurons=None,
-            use_activation=False,
-            internal_weights=True,
-            x_component_major=True,
-            name="sep_value",
-        )(val, attr2)  # (Nd*K, attn_dim), canonical irreps_attn layout
-        val = val.reshape(nd, nk, -1)
+            cm = cm_eligible(dtp1.program)
+            msg2 = message.reshape(nd * nk, -1)
+            attr2 = edge_attr.reshape(nd * nk, -1)
+            mid = dtp1(
+                msg2, attr2, w2, component_major=cm,
+                x_component_major=self.message_component_major,
+            )  # (Nd*K, F_dtp)
+
+            # --- alpha + value linears merged into ONE matmul on the DTP
+            # output (the reference's sep_alpha and sep_act.lin read the same
+            # tensor, ``graph_attention.py:233-235``); the value part is
+            # emitted i-major so the second DTP reads it contiguously ---
+            s, g, t = irreps2gate(irreps_mid)
+            val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
+            # gate-output-as-irreps_mid requires the entry orders to line up
+            # (scalars first); true for every sorted irreps config in the tree
+            assert tuple(Irreps(list(s) + list(t))) == tuple(irreps_mid), (s, t, irreps_mid)
+            out_perm = tuple(range(mul_alpha)) + tuple(
+                mul_alpha + p for p in im_perm(val_out_irreps)
+            )
+            combined = IrrepsLinear(
+                dtp1.irreps_out,
+                Irreps(f"{mul_alpha}x0e") + val_out_irreps,
+                input_perm=cm_input_perm(dtp1.program) if cm else None,
+                output_perm=out_perm,
+                name="sep_alpha_value",
+            )(mid)
+            la = combined[..., :mul_alpha]
+            val_pre = combined[..., mul_alpha:]  # i-major val_out_irreps
+            la = smooth_leaky_relu(la) * smooth_leaky_relu_norm()
+            alpha_dot = self.param(
+                "alpha_dot",
+                nn.initializers.xavier_uniform(),
+                (H, mul_alpha_head),
+                message.dtype,
+            )
+            # per-head dot as ONE matmul with a block-diagonal (mul_alpha, H)
+            # matrix, emitting the (Nd, H, K) orientation directly (K in
+            # lanes — an (Nd, K, H) tensor would pad H to 128 lanes)
+            Dmat = jnp.zeros((mul_alpha, H), message.dtype)
+            for h in range(H):
+                Dmat = Dmat.at[h * mul_alpha_head : (h + 1) * mul_alpha_head, h].set(alpha_dot[h])
+            log_alpha = jnp.einsum("nkm,mh->nhk", la.reshape(nd, nk, mul_alpha), Dmat)  # (Nd, H, K)
+
+            # --- value branch: gate -> second DTP (internal weights) ---
+            if g.dim == 0:
+                val = scalar_silu(val_pre)
+            else:
+                val = GateFromIrreps(irreps_out=irreps_mid, component_major=True)(val_pre)
+            val = SeparableFCTP(
+                irreps_in=irreps_mid,
+                irreps_edge=irreps_edge,
+                irreps_out=irreps_attn,
+                fc_neurons=None,
+                use_activation=False,
+                internal_weights=True,
+                x_component_major=True,
+                name="sep_value",
+            )(val, attr2)  # (Nd*K, attn_dim), canonical irreps_attn layout
+            val = val.reshape(nd, nk, -1)
 
         # --- masked softmax over the K axis (K = last axis) ---
         if edge_pre_attn_logit is not None:
@@ -283,6 +294,60 @@ class GraphAttention(nn.Module):
                 out, deterministic=deterministic
             )
         return out
+
+    def _edge_kernel_branch(
+        self, message, edge_attr, w2, dtp1,
+        irreps_input, irreps_mid, irreps_edge, irreps_attn,
+        H, mul_alpha, mul_alpha_head, nd, nk, mode,
+    ):
+        """Fused component-major edge kernel (``nn/edge_kernel.py``): same
+        param tree as the module pipeline (layout perms / shared DTP2 weights
+        are folded into the dense matrices at trace time).  Returns
+        ``(log_alpha (Nd, H, K), val (Nd, K, attn_dim))`` for the shared
+        softmax tail."""
+        from .edge_kernel import build_edge_plan, edge_kernel_call, prepare_weights
+        from .tp import dtp_instructions
+
+        prog2 = dtp_instructions(irreps_mid, irreps_edge, irreps_attn)
+        plan = build_edge_plan(dtp1.program, prog2, irreps_mid, H, mul_alpha, irreps_attn)
+
+        s, g, t = irreps2gate(irreps_mid)
+        val_out_irreps = irreps_mid if g.dim == 0 else (s + g + t).simplify()
+        assert tuple(Irreps(list(s) + list(t))) == tuple(irreps_mid), (s, t, irreps_mid)
+        W_av, b_av = IrrepsLinear(
+            dtp1.irreps_out, Irreps(f"{mul_alpha}x0e") + val_out_irreps,
+            name="sep_alpha_value",
+        )(None, materialize=True)
+        alpha_dot = self.param(
+            "alpha_dot", nn.initializers.xavier_uniform(), (H, mul_alpha_head),
+            message.dtype,
+        )
+        Dmat = jnp.zeros((mul_alpha, H), message.dtype)
+        for h in range(H):
+            Dmat = Dmat.at[h * mul_alpha_head : (h + 1) * mul_alpha_head, h].set(alpha_dot[h])
+        w_tp2, W_lin2, b_lin2 = SeparableFCTP(
+            irreps_in=irreps_mid,
+            irreps_edge=irreps_edge,
+            irreps_out=irreps_attn,
+            fc_neurons=None,
+            use_activation=False,
+            internal_weights=True,
+            name="sep_value",
+        )(None, materialize=True)
+        weights = prepare_weights(plan, W_av, b_av, Dmat, w_tp2, W_lin2, b_lin2)
+
+        msg2 = message.reshape(nd * nk, -1)
+        if not self.message_component_major:
+            # canonical -> i-major: x_im[m] = x_can[im_perm[m]]
+            msg2 = jnp.take(msg2, jnp.asarray(im_perm(irreps_input)), axis=-1)
+        attr2 = edge_attr.reshape(nd * nk, -1)
+        logits, val = edge_kernel_call(
+            plan, msg2, attr2, w2, weights,
+            mode="xla" if mode == "edge_xla" else "pallas",
+            interpret=(mode == "edge_interpret"),
+        )
+        log_alpha = jnp.transpose(logits.reshape(nd, nk, H), (0, 2, 1))
+        return log_alpha, val.reshape(nd, nk, -1)
 
     def _fused_path(
         self, mode, dtp1, w, message, edge_attr, edge_mask,

@@ -131,7 +131,12 @@ class EquiformerBlock(nn.Module):
 
         from .tp import im_perm
 
-        fused_active = bool(os.environ.get("DIFFUSION_EDF_TPU_FUSED")) and self.alpha_drop == 0.0
+        # The legacy fused cores ('xla'/'pallas') consume the CANONICAL
+        # layout; the r4 'edge' kernel consumes i-major natively.
+        fused_env = os.environ.get("DIFFUSION_EDF_TPU_FUSED") or ""
+        fused_active = (
+            fused_env in ("xla", "pallas", "pallas_interpret") and self.alpha_drop == 0.0
+        )
         msg_perm = None if fused_active else im_perm(irreps_emb)
         msg_src = EquivariantLayerNorm(irreps=irreps_src, name="prenorm_src")(src.f)
         msg_src = IrrepsLinear(

@@ -1,0 +1,101 @@
+#!/bin/bash
+# Round-4 TPU job queue: runs after the place_lowres retrain frees the chip.
+# One job at a time (the TPU is exclusive); each job logs under runs/.
+set -u
+cd /root/repo
+LOG=runs/tpu_queue_r4.log
+exec >> "$LOG" 2>&1
+
+echo "=== r4 queue start $(date) ==="
+
+# wait for the place_lowres run (launched separately) to finish
+while ! grep -q "^rc=" runs/place_lr_r4_console.log 2>/dev/null; do sleep 30; done
+echo "place_lr_r4 done: $(grep '^rc=' runs/place_lr_r4_console.log)"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "--- [$name] start $(date) ---"
+  timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "runs/${name}_console.log"
+  echo "--- [$name] rc=$rc $(date) ---"
+}
+
+# 1. Mosaic compile check + micro-bench of the fused edge kernel
+run edge_bench 1800 python tools/bench_edge_kernel.py
+
+# 2. place_highres, cascade-seeded eval (lowres seeds the refiner)
+run place_hr_r4 6000 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_highres \
+  --task-type place --synthetic-demos 30 --diverse \
+  --max-epochs 1500 --eval-every 250 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --seed-stage-configs diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --seed-stage-checkpoint checkpoints/panda_mug/place_lowres.npz \
+  --log-name place_hr_r4 \
+  --export-best checkpoints/panda_mug/place_highres.npz
+
+# 3. place_ebm critic (rank loss; rank-spearman eval only)
+run place_ebm_r4 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
+  --task-type place --synthetic-demos 30 --diverse \
+  --max-epochs 1200 --eval-every 100 --eval-demos 4 \
+  --splits default unseen_poses distractors unseen_instances \
+  --skip-sampler-eval --log-name place_ebm_r4 \
+  --export-best checkpoints/panda_mug/place_ebm.npz
+
+# 4. sapien pick_lowres (PointAttentiveScoreModel) — first ever training run
+run sapien_pick_r4 5400 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --max-epochs 1200 --eval-every 200 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name sapien_pick_r4 \
+  --export-best checkpoints/sapien/pick_lowres.npz
+
+# 5. pick_lowres clutter-heavy retrain (distractors split attack)
+run pick_lr_r4 7800 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --task-type pick --synthetic-demos 40 --diverse --clutter-heavy \
+  --max-epochs 2000 --eval-every 250 --eval-demos 3 --n-seeds 10 \
+  --splits default distractors unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name pick_lr_r4 \
+  --export-best checkpoints/panda_mug/pick_lowres.npz
+
+# 6. pick_highres retrain, cascade-seeded eval + stability (VERDICT item 4)
+run pick_hr_r4 6000 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --task-type pick --synthetic-demos 40 --diverse --clutter-heavy \
+  --max-epochs 1500 --eval-every 250 --eval-demos 3 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --seed-stage-configs diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --seed-stage-checkpoint checkpoints/panda_mug/pick_lowres.npz \
+  --log-name pick_hr_r4 \
+  --export-best checkpoints/panda_mug/pick_highres.npz
+
+# 7. final evals: full cascades + critics, 4 splits, 30 demos
+run eval_pick_cascade 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm.npz \
+  --task-type pick --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_pick_cascade.json
+
+run eval_place_cascade 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/place_ebm.npz \
+  --task-type place --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_place_cascade.json
+
+echo "=== r4 queue done $(date) ==="

@@ -1,0 +1,82 @@
+"""Fused component-major edge kernel (nn/edge_kernel.py): the 'edge_xla'
+reference path and the Pallas kernel (interpret mode on CPU) must reproduce
+the module pipeline on the same params, at tiny AND reference widths."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.geom.sh import spherical_harmonics
+from diffusion_edf_tpu.nn.attention import GraphAttention
+from diffusion_edf_tpu.nn.tp import im_perm
+
+IRREPS_SH = Irreps("1x0e+1x1e+1x2e")
+
+
+def _inputs(key, irreps_in, Nd=12, K=8, component_major=False):
+    ks = jax.random.split(key, 5)
+    message = jax.random.normal(ks[0], (Nd, K, irreps_in.dim))
+    if component_major:
+        message = jnp.take(message, jnp.asarray(im_perm(irreps_in)), axis=-1)
+    vec = jax.random.normal(ks[1], (Nd, K, 3))
+    edge_attr = spherical_harmonics(IRREPS_SH, vec)
+    edge_scalars = jax.random.normal(ks[2], (Nd, K, 8))
+    edge_mask = jax.random.bernoulli(ks[3], 0.8, (Nd, K))
+    edge_mask = edge_mask.at[:, 0].set(True)
+    pre = -jax.random.uniform(ks[4], (Nd, K))
+    return message, edge_attr, edge_scalars, edge_mask, pre
+
+
+def _module(fused, irreps_in, heads, component_major=False):
+    return GraphAttention(
+        irreps_input=irreps_in,
+        irreps_edge_attr=IRREPS_SH,
+        irreps_output=irreps_in,
+        fc_neurons=(8, 16),
+        num_heads=heads,
+        alpha_drop=0.0,
+        fused_core=fused,
+        message_component_major=component_major,
+    )
+
+
+def _check(irreps_str, heads, component_major, atol, Nd=12, K=8):
+    irreps_in = Irreps(irreps_str)
+    args = _inputs(jax.random.PRNGKey(0), irreps_in, Nd=Nd, K=K,
+                   component_major=component_major)
+    ref_mod = _module(None, irreps_in, heads, component_major)
+    params = ref_mod.init(jax.random.PRNGKey(1), *args)
+    ref = ref_mod.apply(params, *args)
+    out_x = _module("edge_xla", irreps_in, heads, component_major).apply(params, *args)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref), atol=atol)
+    out_p = _module("edge_interpret", irreps_in, heads, component_major).apply(params, *args)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref), atol=atol)
+
+
+def test_edge_kernel_tiny_canonical():
+    _check("8x0e+4x1e+2x2e", heads=2, component_major=False, atol=2e-5)
+
+
+def test_edge_kernel_tiny_imajor():
+    """i-major message (the layout EquiformerBlock emits) — no runtime take."""
+    _check("8x0e+4x1e+2x2e", heads=2, component_major=True, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_edge_kernel_reference_width():
+    """Reference model width (the 2048-seed hot-path shape family)."""
+    _check("64x0e+32x1e+16x2e", heads=4, component_major=True, atol=3e-4, Nd=16, K=8)
+
+
+def test_edge_kernel_param_tree_identical():
+    """The kernel branch declares the SAME params as the module pipeline."""
+    irreps_in = Irreps("8x0e+4x1e+2x2e")
+    args = _inputs(jax.random.PRNGKey(2), irreps_in)
+    p0 = _module(None, irreps_in, 2).init(jax.random.PRNGKey(3), *args)
+    p1 = _module("edge_xla", irreps_in, 2).init(jax.random.PRNGKey(3), *args)
+    f0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    f1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    assert [(k, v.shape) for k, v in f0] == [(k, v.shape) for k, v in f1]
+    for (k0, v0), (_, v1) in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), err_msg=str(k0))

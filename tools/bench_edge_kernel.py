@@ -1,0 +1,111 @@
+"""Real-TPU check + micro-bench of the fused edge kernel (nn/edge_kernel.py).
+
+1. Mosaic compile check: does the Pallas kernel compile at reference width?
+2. Numerical check vs the module pipeline on the same params.
+3. Timing at the 2048-seed hot-path shapes (Nd = nT*nQ, K per scale).
+
+Writes reports/edge_kernel_tpu.json.
+
+Run (needs the TPU free): python tools/bench_edge_kernel.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_edf_tpu.geom.irreps import Irreps
+from diffusion_edf_tpu.geom.sh import spherical_harmonics
+from diffusion_edf_tpu.nn.attention import GraphAttention
+from diffusion_edf_tpu.nn.tp import im_perm
+from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+IRREPS_IN = Irreps("64x0e+32x1e+16x2e")
+IRREPS_SH = Irreps("1x0e+1x1e+1x2e")
+
+
+def _module(fused):
+    return GraphAttention(
+        irreps_input=IRREPS_IN,
+        irreps_edge_attr=IRREPS_SH,
+        irreps_output=IRREPS_IN,
+        fc_neurons=(64, 128, 64),
+        num_heads=4,
+        alpha_drop=0.0,
+        fused_core=fused,
+        message_component_major=True,
+    )
+
+
+def _inputs(key, Nd, K):
+    ks = jax.random.split(key, 4)
+    message = jax.random.normal(ks[0], (Nd, K, IRREPS_IN.dim))
+    vec = jax.random.normal(ks[1], (Nd, K, 3))
+    edge_attr = spherical_harmonics(IRREPS_SH, vec)
+    edge_scalars = jax.random.normal(ks[2], (Nd, K, 64))
+    edge_mask = jax.random.bernoulli(ks[3], 0.9, (Nd, K)).at[:, 0].set(True)
+    pre = -jnp.ones((Nd, K))
+    return message, edge_attr, edge_scalars, edge_mask, pre
+
+
+def _time(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    setup_compilation_cache()
+    report = {"device": jax.devices()[0].device_kind, "cases": []}
+    args_small = _inputs(jax.random.PRNGKey(0), 64, 24)
+    ref_mod = _module(None)
+    params = jax.jit(ref_mod.init)(jax.random.PRNGKey(1), *args_small)
+
+    # numerical check (small shape)
+    ref = jax.jit(ref_mod.apply)(params, *args_small)
+    try:
+        out = jax.jit(_module("edge").apply)(params, *args_small)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        report["mosaic_compiles"] = True
+        report["max_abs_err_vs_module"] = err
+        report["ref_scale"] = scale
+        print(f"Mosaic compile OK; max|err| {err:.3e} (ref scale {scale:.3e})", flush=True)
+    except Exception as e:  # noqa: BLE001
+        report["mosaic_compiles"] = False
+        report["mosaic_error"] = str(e)[:2000]
+        print(f"Mosaic compile FAILED: {str(e)[:500]}", flush=True)
+        with open("reports/edge_kernel_tpu.json", "w") as f:
+            json.dump(report, f, indent=1)
+        return
+
+    # hot-path shapes: nT*nQ destination rows at 2048 seeds, per-scale K
+    for (Nd, K) in [(4096, 24), (4096, 64), (1024, 24), (1024, 64)]:
+        a = _inputs(jax.random.PRNGKey(2), Nd, K)
+        t_mod = _time(jax.jit(ref_mod.apply), params, *a)
+        t_edge = _time(jax.jit(_module("edge").apply), params, *a)
+        case = {"Nd": Nd, "K": K, "module_ms": round(t_mod, 3),
+                "edge_kernel_ms": round(t_edge, 3),
+                "speedup": round(t_mod / t_edge, 2)}
+        report["cases"].append(case)
+        print(case, flush=True)
+
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/edge_kernel_tpu.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote reports/edge_kernel_tpu.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
