@@ -148,8 +148,8 @@ class GraphAttention(nn.Module):
             internal_weights=False,
             name="sep_act_dtp",
         )
-        w2 = RadialProfile(ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad")(
-            edge_scalars.reshape(nd * nk, -1)
+        rad_mod = RadialProfile(
+            ch_list=tuple(self.fc_neurons) + (dtp1.weight_numel,), name="sep_act_rad"
         )
 
         import os
@@ -158,6 +158,10 @@ class GraphAttention(nn.Module):
         drop_active = self.alpha_drop > 0.0 and not deterministic
         if self.scene_axis_name is not None:
             fused = None  # collectives live in the module path only
+        if not (fused in ("edge", "edge_interpret", "edge_xla") and not drop_active):
+            # module / legacy-fused paths compute the radial weights in XLA;
+            # the edge kernel runs the radial MLP in-kernel instead
+            w2 = rad_mod(edge_scalars.reshape(nd * nk, -1))
         if fused in ("xla", "pallas", "pallas_interpret") and not drop_active:
             msg_can = message
             if self.message_component_major:
@@ -176,7 +180,7 @@ class GraphAttention(nn.Module):
             # linear] segment runs per row tile in VMEM; only logits + val
             # touch HBM.  Same params; softmax tail below is shared.
             log_alpha, val = self._edge_kernel_branch(
-                message, edge_attr, w2, dtp1,
+                message, edge_attr, edge_scalars, rad_mod, dtp1,
                 irreps_input, irreps_mid, irreps_edge, irreps_attn,
                 H, mul_alpha, mul_alpha_head, nd, nk, mode=fused,
             )
@@ -296,16 +300,22 @@ class GraphAttention(nn.Module):
         return out
 
     def _edge_kernel_branch(
-        self, message, edge_attr, w2, dtp1,
+        self, message, edge_attr, edge_scalars, rad_mod, dtp1,
         irreps_input, irreps_mid, irreps_edge, irreps_attn,
         H, mul_alpha, mul_alpha_head, nd, nk, mode,
     ):
         """Fused component-major edge kernel (``nn/edge_kernel.py``): same
         param tree as the module pipeline (layout perms / shared DTP2 weights
-        are folded into the dense matrices at trace time).  Returns
+        are folded into the dense matrices at trace time; the radial MLP runs
+        in-kernel from materialized params).  Returns
         ``(log_alpha (Nd, H, K), val (Nd, K, attn_dim))`` for the shared
         softmax tail."""
-        from .edge_kernel import build_edge_plan, edge_kernel_call, prepare_weights
+        from .edge_kernel import (
+            build_edge_plan,
+            edge_kernel_call,
+            pack_radial,
+            prepare_weights,
+        )
         from .tp import dtp_instructions
 
         prog2 = dtp_instructions(irreps_mid, irreps_edge, irreps_attn)
@@ -336,15 +346,19 @@ class GraphAttention(nn.Module):
         )(None, materialize=True)
         weights = prepare_weights(plan, W_av, b_av, Dmat, w_tp2, W_lin2, b_lin2)
 
+        rad_layers, rad_off = rad_mod(None, materialize=True)
+        rad = pack_radial(rad_layers, rad_off)
+
         msg2 = message.reshape(nd * nk, -1)
         if not self.message_component_major:
             # canonical -> i-major: x_im[m] = x_can[im_perm[m]]
             msg2 = jnp.take(msg2, jnp.asarray(im_perm(irreps_input)), axis=-1)
         attr2 = edge_attr.reshape(nd * nk, -1)
         logits, val = edge_kernel_call(
-            plan, msg2, attr2, w2, weights,
+            plan, msg2, attr2, edge_scalars.reshape(nd * nk, -1), weights,
             mode="xla" if mode == "edge_xla" else "pallas",
             interpret=(mode == "edge_interpret"),
+            rad=rad,
         )
         log_alpha = jnp.transpose(logits.reshape(nd, nk, H), (0, 2, 1))
         return log_alpha, val.reshape(nd, nk, -1)

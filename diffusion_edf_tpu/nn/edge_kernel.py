@@ -227,6 +227,48 @@ def _val_out_irreps(plan: EdgePlan) -> Irreps:
     return Irreps(irreps_mid) if g.dim == 0 else (s + g + t).simplify()
 
 
+def pack_radial(rad_layers, rad_off):
+    """Flatten RadialProfile.materialize output into (static spec, arrays)
+    for the kernel: spec = per-layer (has_bias, has_ln); arrays =
+    [W, b?, ln_scale?, ln_bias?]* + [offset_row]."""
+    spec = []
+    arrays = []
+    for W, b, s, bb in rad_layers:
+        spec.append((b is not None, s is not None))
+        arrays.append(W)
+        if b is not None:
+            arrays.append(b)
+        if s is not None:
+            arrays.append(s)
+            arrays.append(bb)
+    arrays.append(rad_off)
+    return tuple(spec), arrays
+
+
+def _radial_fwd(spec, x, arrays):
+    """RadialProfile forward from packed arrays (2-D ops only).  LayerNorm
+    matches flax's fast-variance formula (mean(x^2) - mean(x)^2, eps 1e-5)."""
+    ai = 0
+    h = x
+    n = len(spec)
+    for li, (has_bias, has_ln) in enumerate(spec):
+        W = arrays[ai]
+        ai += 1
+        h = h @ W
+        if has_bias:
+            h = h + arrays[ai]
+            ai += 1
+        if li < n - 1:
+            if has_ln:
+                scale, bias = arrays[ai], arrays[ai + 1]
+                ai += 2
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
+                h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+            h = jax.nn.silu(h)
+    return h + arrays[ai]  # offset row (zeros when use_offset is off)
+
+
 def _core(plan: EdgePlan, x1, attr, w_rad, W_av, b_av, Dmat, W2, b2, C1, C2, Rg, write1, write2):
     """Shared math: 2-D ops only.  ``write1``/``write2`` assemble the DTP
     scratch (concat for XLA, aligned scratch stores for Pallas)."""
@@ -251,14 +293,17 @@ def _core(plan: EdgePlan, x1, attr, w_rad, W_av, b_av, Dmat, W2, b2, C1, C2, Rg,
     return logits, val
 
 
-def edge_core_reference(plan: EdgePlan, x1, attr, w_rad, weights, consts):
+def edge_core_reference(plan: EdgePlan, x1, attr, w_rad, weights, consts, rad=None):
     """XLA reference path (concat assembly) — used for equality tests and as
-    the non-Pallas fallback."""
+    the non-Pallas fallback.  With ``rad = (spec, arrays)`` the third input
+    is the raw edge scalars and the radial MLP runs inline."""
 
     def concat_assemble(pieces):
         ordered = sorted(pieces, key=lambda p: p[0])
         return jnp.concatenate([p for _, _, p in ordered], axis=-1)
 
+    if rad is not None:
+        w_rad = _radial_fwd(rad[0], w_rad, rad[1])
     return _core(plan, x1, attr, w_rad, *weights, *consts,
                  write1=concat_assemble, write2=concat_assemble)
 
@@ -267,11 +312,12 @@ def edge_kernel_call(
     plan: EdgePlan,
     x1: jnp.ndarray,  # (rows, dim_in) i-major message lanes
     attr: jnp.ndarray,  # (rows, dim_sh)
-    w_rad: jnp.ndarray,  # (rows, weight_numel1)
+    w_rad: jnp.ndarray,  # (rows, weight_numel1) — or raw edge scalars with rad
     weights,  # prepared (W_av, b_av, Dmat, W2, b2)
     mode: str = "pallas",
     block_rows: int = 256,
     interpret: bool = False,
+    rad=None,  # optional (spec, arrays) from pack_radial: radial MLP in-kernel
 ):
     """Returns (logits (rows, H), val (rows, attn_dim))."""
     consts = (
@@ -280,7 +326,7 @@ def edge_kernel_call(
         jnp.asarray(plan.R_gate_im, x1.dtype),
     )
     if mode == "xla":
-        return edge_core_reference(plan, x1, attr, w_rad, weights, consts)
+        return edge_core_reference(plan, x1, attr, w_rad, weights, consts, rad=rad)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -294,10 +340,16 @@ def edge_kernel_call(
         )
         x1, attr, w_rad = pad(x1), pad(attr), pad(w_rad)
     dt = x1.dtype
-    warrs = list(weights) + list(consts)
+    rad_spec = rad[0] if rad is not None else None
+    rad_arrays = list(rad[1]) if rad is not None else []
+    warrs = list(weights) + list(consts) + rad_arrays
 
-    def kernel(x1_ref, attr_ref, w_ref, Wav_ref, bav_ref, D_ref, W2_ref, b2_ref,
-               C1_ref, C2_ref, Rg_ref, logits_ref, val_ref, y1_ref, y2_ref):
+    def kernel(x1_ref, attr_ref, w_ref, *refs):
+        wrefs = refs[:5]
+        C1_ref, C2_ref, Rg_ref = refs[5:8]
+        rad_refs = refs[8 : 8 + len(rad_arrays)]
+        logits_ref, val_ref, y1_ref, y2_ref = refs[8 + len(rad_arrays) :]
+
         def store1(pieces):
             for lane, width, piece in pieces:
                 y1_ref[:, lane : lane + width] = piece
@@ -308,9 +360,12 @@ def edge_kernel_call(
                 y2_ref[:, lane : lane + width] = piece
             return y2_ref[:]
 
+        w_rad_v = w_ref[:]
+        if rad_spec is not None:
+            w_rad_v = _radial_fwd(rad_spec, w_rad_v, [r[:] for r in rad_refs])
         logits, val = _core(
-            plan, x1_ref[:], attr_ref[:], w_ref[:],
-            Wav_ref[:], bav_ref[:], D_ref[:], W2_ref[:], b2_ref[:],
+            plan, x1_ref[:], attr_ref[:], w_rad_v,
+            wrefs[0][:], wrefs[1][:], wrefs[2][:], wrefs[3][:], wrefs[4][:],
             C1_ref[:], C2_ref[:], Rg_ref[:],
             write1=store1, write2=store2,
         )

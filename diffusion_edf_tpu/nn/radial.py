@@ -77,26 +77,51 @@ class RadialProfile(nn.Module):
     use_offset: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray], materialize: bool = False):
+        """Apply the MLP, or (``materialize=True``, ``x`` ignored) return its
+        parameter arrays for the fused edge kernel
+        (``nn/edge_kernel.py``): a list of per-layer
+        ``(W (in, out), b (1, out) | None, ln (1, n) scale, ln bias | None)``
+        tuples plus the final ``(1, out)`` additive offset (``offset -
+        bound``, zeros when ``use_offset`` is off).  The SAME submodules are
+        constructed, so the param tree is identical either way."""
         chs = list(self.ch_list)
-        h = x
+        h = x if x is not None else jnp.zeros((1, chs[0]), jnp.float32)
+        layers = []
         for i in range(1, len(chs)):
             last = i == len(chs) - 1
-            h = nn.Dense(chs[i], use_bias=not (last and self.use_offset), name=f"dense{i}")(h)
-            if last:
-                break
-            if self.use_layer_norm:
-                # epsilon matches torch.nn.LayerNorm (1e-5; flax default is
-                # 1e-6) so imported reference weights reproduce exactly
-                h = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(h)
-            h = jax.nn.silu(h)
+            dense = nn.Dense(chs[i], use_bias=not (last and self.use_offset), name=f"dense{i}")
+            h = dense(h)
+            W = dense.variables["params"]["kernel"]
+            b = dense.variables["params"].get("bias")
+            ln_scale = ln_bias = None
+            if not last:
+                if self.use_layer_norm:
+                    # epsilon matches torch.nn.LayerNorm (1e-5; flax default
+                    # is 1e-6) so imported reference weights reproduce exactly
+                    ln = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")
+                    h = ln(h)
+                    ln_scale = ln.variables["params"]["scale"]
+                    ln_bias = ln.variables["params"]["bias"]
+                h = jax.nn.silu(h)
+            layers.append((
+                W,
+                None if b is None else b[None, :],
+                None if ln_scale is None else ln_scale[None, :],
+                None if ln_bias is None else ln_bias[None, :],
+            ))
         if self.use_offset:
             fan_in = chs[-2]
             bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
             offset = self.param(
-                "offset", nn.initializers.uniform(scale=2 * bound), (chs[-1],), x.dtype
+                "offset", nn.initializers.uniform(scale=2 * bound), (chs[-1],), h.dtype
             )
             h = h + (offset - bound)
+            off_row = (offset - bound)[None, :]
+        else:
+            off_row = jnp.zeros((1, chs[-1]), h.dtype)
+        if materialize:
+            return layers, off_row
         return h
 
 
