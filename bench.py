@@ -55,14 +55,37 @@ def _peak_for(device) -> float:
     return 0.0
 
 
-def _build_rollout(model, params, scene, grasp, n_steps):
+def _build_rollout(model, params, scene, grasp, n_steps, bf16=False):
+    """``bf16=True``: the score network (params + extracted features) runs in
+    bfloat16 — MXU-native and half the HBM traffic of the f32 edge pipeline —
+    while the Langevin pose state and score outputs stay f32 (the reference
+    keeps even the pose in f64, ``score_model_base.py:136``; pose precision
+    is preserved, only the score field is quantized)."""
     from diffusion_edf_tpu.diffusion import build_schedule, langevin_sample
 
     key_ms = jax.jit(lambda p, s: model.apply(p, s, method=model.get_key_pcd_multiscale))(params, scene)
     query = jax.jit(lambda p, g: model.apply(p, g, method=model.get_query_pcd))(params, grasp)
 
-    def score_fn(T, t):
-        return model.apply(params, T, key_ms, query, t, method=model.score)
+    if bf16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            t,
+        )
+        params, key_ms, query = cast(params), cast(key_ms), cast(query)
+
+        def score_fn(T, t):
+            ang, lin = model.apply(
+                params, T.astype(jnp.bfloat16), key_ms, query,
+                t.astype(jnp.bfloat16), method=model.score,
+            )
+            return ang.astype(jnp.float32), lin.astype(jnp.float32)
+
+    else:
+
+        def score_fn(T, t):
+            return model.apply(params, T, key_ms, query, t, method=model.score)
 
     sched = build_schedule(
         diffusion_schedules=[[1.0, 0.15], [0.15, 0.01]],
@@ -149,6 +172,25 @@ def main():
             extra["edge_kernel_error"] = repr(e)[:500]
         if not adopted:
             os.environ.pop("DIFFUSION_EDF_TPU_FUSED", None)
+
+    # ---- bf16 score network candidate (MXU-native; pose state stays f32) ----
+    try:
+        rb16, _ = _build_rollout(model, params, scene, scene, N_STEPS, bf16=True)
+        ref_out = rollout(jax.random.PRNGKey(2), Ts)
+        b16_out = rb16(jax.random.PRNGKey(2), Ts)
+        err16 = float(jnp.max(jnp.abs(b16_out - ref_out)))
+        dt16 = _time_rollout(rb16, Ts)
+        extra["bf16_max_abs_pose_diff"] = round(err16, 5)
+        extra["pose_steps_per_s_bf16"] = round(N_SEEDS * N_STEPS / dt16, 1)
+        # acceptance: final poses within 0.05 (0.5 mm / ~1 deg-equivalent in
+        # the 7-vec units) of the f32 rollout after the full 100-step anneal
+        if err16 < 5e-2 and dt16 < dt:
+            rollout = rb16
+            dt = dt16
+            pose_steps_per_s = N_SEEDS * N_STEPS / dt
+            extra["bf16_score_network"] = True
+    except Exception as e:  # noqa: BLE001
+        extra["bf16_error"] = repr(e)[:500]
 
     # MFU via XLA cost analysis: algorithmic FLOPs from the MODULE rollout
     # (Pallas custom calls are opaque to cost analysis) over the achieved dt

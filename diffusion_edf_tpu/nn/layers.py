@@ -110,7 +110,11 @@ class IrrepsLinear(nn.Module):
                     (mul_in, mul_out),
                     dtype,
                 )
-                params[oi] = (w - 1.0) / np.sqrt(mul_in)
+                # compute in the input dtype regardless of the stored param
+                # dtype (mixed-precision: bf16 inference on f32 checkpoints);
+                # python-float scalar keeps the weak type (a numpy f64 scalar
+                # would promote bf16 -> f32)
+                params[oi] = (w.astype(dtype) - 1.0) / float(np.sqrt(mul_in))
 
         if use_dense or materialize:
             W = jnp.zeros((irreps_in.dim, irreps_out.dim), dtype=dtype)
@@ -133,7 +137,9 @@ class IrrepsLinear(nn.Module):
                         u0 += mi
                 if self.use_bias and ir == Irrep(0, 1):
                     b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), dtype)
-                    bias_full = jax.lax.dynamic_update_slice(bias_full, b, (out_slices[oi].start,))
+                    bias_full = jax.lax.dynamic_update_slice(
+                        bias_full, b.astype(dtype), (out_slices[oi].start,)
+                    )
                     any_bias = True
             if materialize:
                 return W, bias_full
@@ -164,7 +170,7 @@ class IrrepsLinear(nn.Module):
                 y = jnp.zeros(batch + (mul_out, d), dtype=f.dtype)
             if self.use_bias and ir == Irrep(0, 1):
                 b = self.param(f"b{oi}", nn.initializers.zeros, (mul_out,), f.dtype)
-                y = y + b[..., :, None]
+                y = y + b.astype(f.dtype)[..., :, None]
             outs.append(y.reshape(*batch, mul_out * d))
         return jnp.concatenate(outs, axis=-1)
 
