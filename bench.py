@@ -139,58 +139,49 @@ def main():
     dt = _time_rollout(rollout, Ts)
     pose_steps_per_s = N_SEEDS * N_STEPS / dt
 
-    # ---- fused edge kernel (nn/edge_kernel.py): self-gating — use it for
-    # the headline/scaling only if it compiles AND matches the module path
-    # on this device; always report both numbers ----
-    # NOTE: the env var must stay set while the adopted rollout retraces at
-    # new seed-batch shapes below (the flag is read at trace time), so it is
-    # only unset when the kernel is rejected.
+    # ---- faster-rollout candidates, self-gating: fused edge kernels
+    # (nn/edge_kernel.py, env flag read at trace time) x bf16 score network.
+    # A candidate is eligible only if it compiles AND its final annealed
+    # poses stay within tolerance of the f32 module rollout on this device
+    # (f32 kernels: 2e-2 — pure float reassociation; bf16: 5e-2, ~0.5 mm /
+    # ~1 deg-equivalent in the 7-vec units).  The fastest eligible candidate
+    # becomes the headline rollout; every measurement is reported.  The env
+    # flag stays set to the winner so retraces at new seed-batch shapes
+    # (scaling curve below) keep using the same path.
     if os.environ.get("DIFFUSION_EDF_TPU_FUSED", "") == "":
-        adopted = False
-        try:
-            os.environ["DIFFUSION_EDF_TPU_FUSED"] = "edge"
-            cfg_e = ge._model_config(tiny=False)
-            model_e = build_score_model(cfg_e["model_name"], cfg_e["model_kwargs"])
-            re_, _ = _build_rollout(model_e, params, scene, scene, N_STEPS)
-            ref_out = rollout(jax.random.PRNGKey(2), Ts)
-            edge_out = re_(jax.random.PRNGKey(2), Ts)
-            err = float(jnp.max(jnp.abs(edge_out - ref_out)))
-            extra["edge_kernel_max_abs_pose_diff"] = round(err, 6)
-            # poses are unit-quat + cm translations; the fused kernel only
-            # reassociates float math, so agreement is tight
-            if err < 2e-2:
-                dt_edge = _time_rollout(re_, Ts)
-                extra["pose_steps_per_s_module"] = round(pose_steps_per_s, 1)
-                extra["pose_steps_per_s_edge_kernel"] = round(N_SEEDS * N_STEPS / dt_edge, 1)
-                if dt_edge < dt:
-                    rollout = re_
-                    dt = dt_edge
-                    pose_steps_per_s = N_SEEDS * N_STEPS / dt
-                    extra["fused_edge_kernel"] = True
-                    adopted = True
-        except Exception as e:  # noqa: BLE001 — fall back to the module path
-            extra["edge_kernel_error"] = repr(e)[:500]
-        if not adopted:
-            os.environ.pop("DIFFUSION_EDF_TPU_FUSED", None)
-
-    # ---- bf16 score network candidate (MXU-native; pose state stays f32) ----
-    try:
-        rb16, _ = _build_rollout(model, params, scene, scene, N_STEPS, bf16=True)
-        ref_out = rollout(jax.random.PRNGKey(2), Ts)
-        b16_out = rb16(jax.random.PRNGKey(2), Ts)
-        err16 = float(jnp.max(jnp.abs(b16_out - ref_out)))
-        dt16 = _time_rollout(rb16, Ts)
-        extra["bf16_max_abs_pose_diff"] = round(err16, 5)
-        extra["pose_steps_per_s_bf16"] = round(N_SEEDS * N_STEPS / dt16, 1)
-        # acceptance: final poses within 0.05 (0.5 mm / ~1 deg-equivalent in
-        # the 7-vec units) of the f32 rollout after the full 100-step anneal
-        if err16 < 5e-2 and dt16 < dt:
-            rollout = rb16
-            dt = dt16
-            pose_steps_per_s = N_SEEDS * N_STEPS / dt
-            extra["bf16_score_network"] = True
-    except Exception as e:  # noqa: BLE001
-        extra["bf16_error"] = repr(e)[:500]
+        extra["pose_steps_per_s_module"] = round(pose_steps_per_s, 1)
+        ref_out = rollout_module(jax.random.PRNGKey(2), Ts)
+        candidates = [
+            ("edge_t", False), ("edge", False), ("", True),
+            ("edge_t", True),
+        ]
+        best = ("", False)
+        for kmode, bf16 in candidates:
+            name = (kmode or "module") + ("_bf16" if bf16 else "")
+            try:
+                if kmode:
+                    os.environ["DIFFUSION_EDF_TPU_FUSED"] = kmode
+                cfg_e = ge._model_config(tiny=False)
+                model_e = build_score_model(cfg_e["model_name"], cfg_e["model_kwargs"])
+                rc, _ = _build_rollout(model_e, params, scene, scene, N_STEPS, bf16=bf16)
+                out_c = rc(jax.random.PRNGKey(2), Ts)
+                err = float(jnp.max(jnp.abs(out_c - ref_out)))
+                extra[f"{name}_max_abs_pose_diff"] = round(err, 6)
+                if err < (5e-2 if bf16 else 2e-2):
+                    dt_c = _time_rollout(rc, Ts)
+                    extra[f"pose_steps_per_s_{name}"] = round(N_SEEDS * N_STEPS / dt_c, 1)
+                    if dt_c < dt:
+                        rollout, dt = rc, dt_c
+                        pose_steps_per_s = N_SEEDS * N_STEPS / dt
+                        best = (kmode, bf16)
+            except Exception as e:  # noqa: BLE001 — candidate just drops out
+                extra[f"{name}_error"] = repr(e)[:300]
+            finally:
+                os.environ.pop("DIFFUSION_EDF_TPU_FUSED", None)
+        if best[0]:
+            os.environ["DIFFUSION_EDF_TPU_FUSED"] = best[0]
+        if best != ("", False):
+            extra["rollout_variant"] = (best[0] or "module") + ("_bf16" if best[1] else "")
 
     # MFU via XLA cost analysis: algorithmic FLOPs from the MODULE rollout
     # (Pallas custom calls are opaque to cost analysis) over the achieved dt

@@ -293,6 +293,85 @@ def _core(plan: EdgePlan, x1, attr, w_rad, W_av, b_av, Dmat, W2, b2, C1, C2, Rg,
     return logits, val
 
 
+def _radial_fwd_t(spec, xT, arraysT):
+    """Transposed radial MLP: features in the SUBLANE dim, rows in lanes.
+    ``arraysT`` are the packed arrays PRE-transposed at trace time."""
+    ai = 0
+    h = xT  # (S, B)
+    n = len(spec)
+    for li, (has_bias, has_ln) in enumerate(spec):
+        WT = arraysT[ai]  # (out, in)
+        ai += 1
+        h = WT @ h
+        if has_bias:
+            h = h + arraysT[ai]  # (n, 1)
+            ai += 1
+        if li < n - 1:
+            if has_ln:
+                scale, bias = arraysT[ai], arraysT[ai + 1]
+                ai += 2
+                mu = jnp.mean(h, axis=0, keepdims=True)
+                var = jnp.mean(h * h, axis=0, keepdims=True) - mu * mu
+                h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+            h = jax.nn.silu(h)
+    return h + arraysT[ai]
+
+
+def _core_t(plan: EdgePlan, x1T, attrT, wT, W_avT, b_avT, DmatT, W2T, b2T,
+            C1T, C2T, RgT, write1, write2):
+    """Transposed shared math: FEATURES in the sublane dim, ROWS in the lane
+    dim — every per-piece FMA then runs at full 128-lane utilization (the
+    row-major kernel wastes 50-87% of each vector op on <=64-wide pieces) and
+    scratch stores land at width-aligned SUBLANE offsets.  Same algebra as
+    :func:`_core`; all weight operands PRE-transposed at trace time."""
+    from .layers import norm_sigmoid, scalar_silu
+
+    dt = x1T.dtype
+    A1T = C1T @ attrT  # (nA1, B)
+
+    def pieces1():
+        for off, mul1, iks, ws, lane in plan.dtp1.pieces:
+            acc = None
+            for i, c in iks:
+                xs = x1T[off + i * mul1 : off + (i + 1) * mul1, :]
+                term = xs * A1T[c : c + 1, :]
+                acc = term if acc is None else acc + term
+            if acc is None:
+                piece = jnp.zeros((mul1, x1T.shape[1]), dt)
+            else:
+                piece = acc * wT[ws : ws + mul1, :]
+            yield lane, mul1, piece
+
+    Y1T = write1(pieces1())  # (n_lanes1, B)
+    combT = W_avT @ Y1T + b_avT  # (cols, B)
+    ma, sd, gd = plan.mul_alpha, plan.sd, plan.gd
+    la = smooth_leaky_relu(combT[:ma, :]) * jnp.asarray(smooth_leaky_relu_norm(), dt)
+    logitsT = DmatT @ la  # (H, B)
+    scalars = scalar_silu(combT[ma : ma + sd, :])
+    if gd:
+        gates = norm_sigmoid(combT[ma + sd : ma + sd + gd, :])
+        gated = combT[ma + sd + gd :, :] * (RgT @ gates)
+    else:
+        gated = combT[ma + sd :, :]
+    A2T = C2T @ attrT
+
+    def pieces2():
+        for off, mul1, iks, _ws, lane in plan.dtp2.pieces:
+            acc = None
+            for i, c in iks:
+                a = off + i * mul1
+                xs = scalars[a : a + mul1, :] if a + mul1 <= sd else gated[a - sd : a - sd + mul1, :]
+                term = xs * A2T[c : c + 1, :]
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros((mul1, x1T.shape[1]), dt)
+            yield lane, mul1, acc
+
+    Y2T = write2(pieces2())
+    valT = W2T @ Y2T + b2T  # (attn_dim, B)
+    return logitsT, valT
+
+
 def edge_core_reference(plan: EdgePlan, x1, attr, w_rad, weights, consts, rad=None):
     """XLA reference path (concat assembly) — used for equality tests and as
     the non-Pallas fallback.  With ``rad = (spec, arrays)`` the third input
@@ -342,6 +421,13 @@ def edge_kernel_call(
     dt = x1.dtype
     rad_spec = rad[0] if rad is not None else None
     rad_arrays = list(rad[1]) if rad is not None else []
+
+    if mode == "pallas_t":
+        return _call_transposed(
+            plan, x1, attr, w_rad, weights, consts, rad_spec, rad_arrays,
+            B, Rp, R, dt, interpret,
+        )
+
     warrs = list(weights) + list(consts) + rad_arrays
 
     def kernel(x1_ref, attr_ref, w_ref, *refs):
@@ -395,3 +481,72 @@ def edge_kernel_call(
         interpret=interpret,
     )(x1, attr, w_rad, *warrs)
     return logits[:R], val[:R]
+
+
+def _call_transposed(
+    plan, x1, attr, w_rad, weights, consts, rad_spec, rad_arrays,
+    B, Rp, R, dt, interpret,
+):
+    """'pallas_t' dispatch: rows in the LANE dim.  Inputs/outputs are
+    transposed in XLA around the kernel (one cheap relayout each, ~0.5 ms at
+    0.5M rows — far below the full-lane-utilization win inside)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W_av, b_av, Dmat, W2, b2 = weights
+    C1, C2, Rg = consts
+    warrsT = [W_av.T, b_av.T, Dmat.T, W2.T, b2.T, C1.T, C2.T, Rg.T] + [
+        a.T for a in rad_arrays
+    ]
+    x1T, attrT, wT = x1.T, attr.T, w_rad.T  # (dim, Rp)
+
+    def kernel(x1_ref, attr_ref, w_ref, *refs):
+        WavT_ref, bavT_ref, DT_ref, W2T_ref, b2T_ref, C1T_ref, C2T_ref, RgT_ref = refs[:8]
+        rad_refs = refs[8 : 8 + len(rad_arrays)]
+        logits_ref, val_ref, y1_ref, y2_ref = refs[8 + len(rad_arrays) :]
+
+        def store1(pieces):
+            for lane, width, piece in pieces:
+                y1_ref[lane : lane + width, :] = piece
+            return y1_ref[:]
+
+        def store2(pieces):
+            for lane, width, piece in pieces:
+                y2_ref[lane : lane + width, :] = piece
+            return y2_ref[:]
+
+        wTv = w_ref[:]
+        if rad_spec is not None:
+            wTv = _radial_fwd_t(rad_spec, wTv, [r[:] for r in rad_refs])
+        logitsT, valT = _core_t(
+            plan, x1_ref[:], attr_ref[:], wTv,
+            WavT_ref[:], bavT_ref[:], DT_ref[:], W2T_ref[:], b2T_ref[:],
+            C1T_ref[:], C2T_ref[:], RgT_ref[:],
+            write1=store1, write2=store2,
+        )
+        logits_ref[:] = logitsT
+        val_ref[:] = valT
+
+    def col_spec(height):
+        return pl.BlockSpec((height, B), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    logitsT, valT = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.H, Rp), dt),
+            jax.ShapeDtypeStruct((plan.attn_dim, Rp), dt),
+        ),
+        grid=(Rp // B,),
+        in_specs=[col_spec(x1T.shape[0]), col_spec(attrT.shape[0]), col_spec(wT.shape[0])]
+        + [full_spec(a) for a in warrsT],
+        out_specs=(col_spec(plan.H), col_spec(plan.attn_dim)),
+        scratch_shapes=[
+            pltpu.VMEM((plan.dtp1.n_lanes, B), dt),
+            pltpu.VMEM((plan.dtp2.n_lanes, B), dt),
+        ],
+        interpret=interpret,
+    )(x1T, attrT, wT, *warrsT)
+    return logitsT.T[:R], valT.T[:R]

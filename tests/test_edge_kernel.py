@@ -52,6 +52,8 @@ def _check(irreps_str, heads, component_major, atol, Nd=12, K=8):
     np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref), atol=atol)
     out_p = _module("edge_interpret", irreps_in, heads, component_major).apply(params, *args)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref), atol=atol)
+    out_t = _module("edge_t_interpret", irreps_in, heads, component_major).apply(params, *args)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref), atol=atol)
 
 
 def test_edge_kernel_tiny_canonical():

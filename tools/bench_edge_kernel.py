@@ -74,18 +74,22 @@ def main():
 
     # numerical check (small shape)
     ref = jax.jit(ref_mod.apply)(params, *args_small)
-    try:
-        out = jax.jit(_module("edge").apply)(params, *args_small)
-        err = float(jnp.max(jnp.abs(out - ref)))
-        scale = float(jnp.max(jnp.abs(ref)))
-        report["mosaic_compiles"] = True
-        report["max_abs_err_vs_module"] = err
-        report["ref_scale"] = scale
-        print(f"Mosaic compile OK; max|err| {err:.3e} (ref scale {scale:.3e})", flush=True)
-    except Exception as e:  # noqa: BLE001
-        report["mosaic_compiles"] = False
-        report["mosaic_error"] = str(e)[:2000]
-        print(f"Mosaic compile FAILED: {str(e)[:500]}", flush=True)
+    modes = []
+    for mode in ("edge", "edge_t"):
+        try:
+            out = jax.jit(_module(mode).apply)(params, *args_small)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            scale = float(jnp.max(jnp.abs(ref)))
+            report[f"{mode}_compiles"] = True
+            report[f"{mode}_max_abs_err_vs_module"] = err
+            report["ref_scale"] = scale
+            modes.append(mode)
+            print(f"[{mode}] Mosaic compile OK; max|err| {err:.3e} (scale {scale:.3e})", flush=True)
+        except Exception as e:  # noqa: BLE001
+            report[f"{mode}_compiles"] = False
+            report[f"{mode}_error"] = str(e)[:2000]
+            print(f"[{mode}] Mosaic compile FAILED: {str(e)[:500]}", flush=True)
+    if not modes:
         with open("reports/edge_kernel_tpu.json", "w") as f:
             json.dump(report, f, indent=1)
         return
@@ -93,11 +97,11 @@ def main():
     # hot-path shapes: nT*nQ destination rows at 2048 seeds, per-scale K
     for (Nd, K) in [(4096, 24), (4096, 64), (1024, 24), (1024, 64)]:
         a = _inputs(jax.random.PRNGKey(2), Nd, K)
-        t_mod = _time(jax.jit(ref_mod.apply), params, *a)
-        t_edge = _time(jax.jit(_module("edge").apply), params, *a)
-        case = {"Nd": Nd, "K": K, "module_ms": round(t_mod, 3),
-                "edge_kernel_ms": round(t_edge, 3),
-                "speedup": round(t_mod / t_edge, 2)}
+        case = {"Nd": Nd, "K": K,
+                "module_ms": round(_time(jax.jit(ref_mod.apply), params, *a), 3)}
+        for mode in modes:
+            case[f"{mode}_ms"] = round(_time(jax.jit(_module(mode).apply), params, *a), 3)
+            case[f"{mode}_speedup"] = round(case["module_ms"] / case[f"{mode}_ms"], 2)
         report["cases"].append(case)
         print(case, flush=True)
 
