@@ -148,6 +148,7 @@ def main():
     # becomes the headline rollout; every measurement is reported.  The env
     # flag stays set to the winner so retraces at new seed-batch shapes
     # (scaling curve below) keep using the same path.
+    eligible = {"module": ("", rollout)}  # name -> (env value, rollout fn)
     if os.environ.get("DIFFUSION_EDF_TPU_FUSED", "") == "":
         extra["pose_steps_per_s_module"] = round(pose_steps_per_s, 1)
         ref_out = rollout_module(jax.random.PRNGKey(2), Ts)
@@ -170,6 +171,7 @@ def main():
                 if err < (5e-2 if bf16 else 2e-2):
                     dt_c = _time_rollout(rc, Ts)
                     extra[f"pose_steps_per_s_{name}"] = round(N_SEEDS * N_STEPS / dt_c, 1)
+                    eligible[name] = (kmode, rc)
                     if dt_c < dt:
                         rollout, dt = rc, dt_c
                         pose_steps_per_s = N_SEEDS * N_STEPS / dt
@@ -200,12 +202,45 @@ def main():
         extra["cost_analysis_error"] = repr(e)
 
     # ---------------- seed-batch scaling curve ----------------
+    # measured per eligible variant (module + gated kernel/bf16 ones); the
+    # headline curve takes the best variant PER BATCH SIZE — the serving
+    # runtime dispatches by shape, so the deployable throughput at each seed
+    # count is the per-shape max, and an implementation that only wins at
+    # large batches (where the module path goes HBM-bound) still counts
     if not quick:
-        curve = {}
+        if len(eligible) > 3:
+            # bound bench time: module + the two fastest at the headline shape
+            speed = {k: extra.get(f"pose_steps_per_s_{k}", 0.0) for k in eligible if k != "module"}
+            keep = set(sorted(speed, key=speed.get, reverse=True)[:2])
+            eligible = {k: v for k, v in eligible.items() if k == "module" or k in keep}
+        by_variant = {}
+        for name, (envv, ro) in eligible.items():
+            if envv:
+                os.environ["DIFFUSION_EDF_TPU_FUSED"] = envv
+            else:
+                os.environ.pop("DIFFUSION_EDF_TPU_FUSED", None)
+            c = {}
+            for n in (32, 128, 512, 2048, 4096):
+                dtn = _time_rollout(ro, _seed_batch(n), n_rep=2)
+                c[str(n)] = round(n * N_STEPS / dtn, 1)
+            by_variant[name] = c
+        if len(by_variant) > 1:
+            extra["seed_scaling_by_variant"] = by_variant
+        curve, curve_variant = {}, {}
         for n in (32, 128, 512, 2048, 4096):
-            dtn = _time_rollout(rollout, _seed_batch(n), n_rep=2)
-            curve[str(n)] = round(n * N_STEPS / dtn, 1)
+            vals = {name: c[str(n)] for name, c in by_variant.items()}
+            top = max(vals, key=vals.get)
+            curve[str(n)] = vals[top]
+            curve_variant[str(n)] = top
         extra["seed_scaling_pose_steps_per_s"] = curve
+        if len(by_variant) > 1:
+            extra["seed_scaling_variant"] = curve_variant
+        # restore the headline winner's env for the sections below
+        winner_env = dict(eligible).get(extra.get("rollout_variant", "module"), ("", None))[0]
+        if winner_env:
+            os.environ["DIFFUSION_EDF_TPU_FUSED"] = winner_env
+        else:
+            os.environ.pop("DIFFUSION_EDF_TPU_FUSED", None)
 
     # ---------------- p50 single-request latency ----------------
     # a serving-shaped request: 20 seeds, 100-step schedule, warm cache

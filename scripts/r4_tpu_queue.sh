@@ -99,3 +99,9 @@ run eval_place_cascade 5400 python -m diffusion_edf_tpu.eval \
   --out reports/eval_place_cascade.json
 
 echo "=== r4 queue done $(date) ==="
+
+# 8. re-measure edge kernels (incl. the transposed layout) + a full bench
+run edge_bench2 2400 python tools/bench_edge_kernel.py
+run bench_final 3600 python bench.py
+
+echo "=== r4 queue (incl. appended jobs) done $(date) ==="
