@@ -40,7 +40,7 @@ run place_hr_r4 6000 python tools/train_eval_loop.py \
 run place_ebm_r4 4200 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
   --task-type place --synthetic-demos 30 --diverse \
-  --max-epochs 1200 --eval-every 100 --eval-demos 4 \
+  --max-epochs 0500 --eval-every 100 --eval-demos 4 \
   --splits default unseen_poses distractors unseen_instances \
   --skip-sampler-eval --log-name place_ebm_r4 \
   --export-best checkpoints/panda_mug/place_ebm.npz
@@ -49,7 +49,7 @@ run place_ebm_r4 4200 python tools/train_eval_loop.py \
 run sapien_pick_r4 5400 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres \
   --task-type pick --synthetic-demos 30 --diverse \
-  --max-epochs 1200 --eval-every 200 --eval-demos 3 --n-seeds 10 \
+  --max-epochs 1000 --eval-every 250 --eval-demos 3 --n-seeds 10 \
   --splits default unseen_poses \
   --grad-clip-norm 1.0 --lr-min-factor 0.1 \
   --log-name sapien_pick_r4 \
@@ -59,7 +59,7 @@ run sapien_pick_r4 5400 python tools/train_eval_loop.py \
 run pick_lr_r4 7800 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
   --task-type pick --synthetic-demos 40 --diverse --clutter-heavy \
-  --max-epochs 2000 --eval-every 250 --eval-demos 3 --n-seeds 10 \
+  --max-epochs 1400 --eval-every 350 --eval-demos 3 --n-seeds 10 \
   --splits default distractors unseen_poses \
   --grad-clip-norm 1.0 --lr-min-factor 0.1 \
   --log-name pick_lr_r4 \
@@ -69,7 +69,7 @@ run pick_lr_r4 7800 python tools/train_eval_loop.py \
 run pick_hr_r4 6000 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
   --task-type pick --synthetic-demos 40 --diverse --clutter-heavy \
-  --max-epochs 1500 --eval-every 250 --eval-demos 3 --n-seeds 10 \
+  --max-epochs 1000 --eval-every 250 --eval-demos 3 --n-seeds 10 \
   --splits default distractors \
   --grad-clip-norm 1.0 --lr-min-factor 0.1 \
   --seed-stage-configs diffusion_edf_tpu/configs/panda_mug/pick_lowres \

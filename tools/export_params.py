@@ -44,9 +44,22 @@ def main():
     p.add_argument("--meta", default=None, help="JSON string of provenance metadata")
     args = p.parse_args()
 
+    import jax
     import orbax.checkpoint as ocp
 
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.checkpoint))
+    path = os.path.abspath(args.checkpoint)
+    try:
+        restored = ocp.StandardCheckpointer().restore(path)
+    except ValueError:
+        # checkpoint saved from a device not present here (e.g. exporting a
+        # TPU-trained checkpoint while the chip is busy): restore as numpy
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", None) or meta
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        restored = ckptr.restore(path, restore_args=restore_args)
     params = restored.get("params", restored)
     flat = flatten(params)
     if args.f16:
