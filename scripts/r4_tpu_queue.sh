@@ -105,3 +105,23 @@ run edge_bench2 2400 python tools/bench_edge_kernel.py
 run bench_final 3600 python bench.py
 
 echo "=== r4 queue (incl. appended jobs) done $(date) ==="
+
+# 9. sapien PointAttentiveScoreModel rerun with synthetic-task gripper
+# geometry (the first attempt used the sapien robot's wide-gripper keypoint
+# coords -- queries in empty space for the synthetic demos, r2 failure mode)
+run sapien_pick_r4b 4800 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --max-epochs 900 --eval-every 300 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name sapien_pick_r4b \
+  --export-best checkpoints/sapien/pick_lowres.npz
+
+[ -f checkpoints/sapien/pick_lowres.npz ] && run eval_sapien_pick 2400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --checkpoint-dir checkpoints/sapien/pick_lowres.npz \
+  --task-type pick --synthetic-demos 8 --n-seeds 10 --splits default unseen_poses \
+  --out reports/eval_sapien_pick.json
+
+echo "=== r4 queue fully done $(date) ==="
