@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-4 TPU queue, part 2 (manual takeover after the pick_lowres retrain
+# regressed: 1400 epochs + cosine-decayed LR undertrained vs the r3 recipe).
+set -u
+cd /root/repo
+LOG=runs/tpu_queue_r4b.log
+exec >> "$LOG" 2>&1
+echo "=== r4 queue2 start $(date) ==="
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "--- [$name] start $(date) ---"
+  timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "runs/${name}_console.log"
+  echo "--- [$name] rc=$rc $(date) ---"
+}
+
+# 1. pick_lowres clutter-heavy retrain, r3 recipe (fixed LR, long horizon);
+#    exports to a SIDE artifact — promotion is a separate decision
+run pick_lr_r4b 5400 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --task-type pick --synthetic-demos 40 --diverse --clutter-heavy \
+  --max-epochs 2600 --eval-every 400 --eval-demos 3 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 \
+  --log-name pick_lr_r4b \
+  --export-best checkpoints/panda_mug/pick_lowres_clutter.npz
+
+# 2. pick cascade eval with the PROVEN r3 pick artifacts + the r4 critic
+run eval_pick_cascade 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm.npz \
+  --task-type pick --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_pick_cascade.json
+
+# 3. place cascade eval (r4 lowres + highres + place critic)
+run eval_place_cascade 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/place_ebm.npz \
+  --task-type place --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_place_cascade.json
+
+# 4. edge-kernel measurements (incl. transposed layout) + full bench
+run edge_bench2 2400 python tools/bench_edge_kernel.py
+run bench_final 3600 python bench.py
+
+# 5. sapien PointAttentive rerun with synth gripper geometry
+run sapien_pick_r4b 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --max-epochs 900 --eval-every 300 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 \
+  --log-name sapien_pick_r4b \
+  --export-best checkpoints/sapien/pick_lowres.npz
+
+[ -f checkpoints/sapien/pick_lowres.npz ] && run eval_sapien_pick 2400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --checkpoint-dir checkpoints/sapien/pick_lowres.npz \
+  --task-type pick --synthetic-demos 8 --n-seeds 10 --splits default unseen_poses \
+  --out reports/eval_sapien_pick.json
+
+echo "=== r4 queue2 done $(date) ==="
