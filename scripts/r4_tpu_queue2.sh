@@ -57,7 +57,7 @@ run bench_final 3600 python bench.py
 run sapien_pick_r4b 4200 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
   --task-type pick --synthetic-demos 30 --diverse \
-  --max-epochs 900 --eval-every 300 --eval-demos 3 --n-seeds 10 \
+  --max-epochs 600 --eval-every 300 --eval-demos 3 --n-seeds 10 \
   --splits default unseen_poses \
   --grad-clip-norm 1.0 \
   --log-name sapien_pick_r4b \
@@ -70,3 +70,25 @@ run sapien_pick_r4b 4200 python tools/train_eval_loop.py \
   --out reports/eval_sapien_pick.json
 
 echo "=== r4 queue2 done $(date) ==="
+
+# 6. fine-scale critic retrain + cascade re-eval (the r4 critic ranks coarse
+# fans but not the sub-cm cascade-sample spread)
+run pick_ebm_fine 3600 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --max-epochs 1200 --eval-every 200 --eval-demos 4 \
+  --splits default unseen_poses \
+  --skip-sampler-eval --log-name pick_ebm_fine \
+  --export-best checkpoints/panda_mug/pick_ebm_fine.npz
+
+[ -f checkpoints/panda_mug/pick_ebm_fine.npz ] && run eval_pick_cascade_fine 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm_fine.npz \
+  --task-type pick --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_pick_cascade_fine.json
+
+echo "=== r4 queue2 + critic2 done $(date) ==="
