@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 final session queue: fine-scale critic (the one r4 item still open:
+# cascade-sample ranking, energy_error_spearman ~0 in eval_pick_cascade.json).
+# Strategy: warm-start from the shipped coarse-rank critic (pick_ebm.npz,
+# perturbation-fan spearman 0.85-0.90) and fine-tune on the pick_ebm_fine
+# rank config (denser sub-cm/5deg pairs, min_gap 0.1, tau 0.05), then re-run
+# the pick cascade eval with the fine critic ranking the samples.
+set -u
+cd /root/repo
+LOG=runs/r4_session_final.log
+exec >> "$LOG" 2>&1
+echo "=== r4 session-final start $(date) ==="
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "--- [$name] start $(date) ---"
+  timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "runs/${name}_console.log"
+  echo "--- [$name] rc=$rc $(date) ---"
+}
+
+run pick_ebm_fine 1500 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --init-params-npz checkpoints/panda_mug/pick_ebm.npz \
+  --max-epochs 500 --eval-every 100 --eval-demos 4 \
+  --splits default unseen_poses \
+  --skip-sampler-eval --log-name pick_ebm_fine \
+  --export-best checkpoints/panda_mug/pick_ebm_fine.npz
+
+[ -f checkpoints/panda_mug/pick_ebm_fine.npz ] && run eval_pick_cascade_fine 1800 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm_fine.npz \
+  --task-type pick --synthetic-demos 15 --n-seeds 10 --splits default unseen_poses \
+  --out reports/eval_pick_cascade_fine.json
+
+echo "=== r4 session-final done $(date) ==="

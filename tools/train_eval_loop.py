@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--log-name", default=None)
     p.add_argument("--splits", nargs="*", default=["default", "unseen_poses"])
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--init-params-npz", default=None,
+                   help="warm-start params (and EMA) from a flat .npz serving "
+                        "artifact (fresh optimizer/epoch counter) — e.g. "
+                        "fine-tune a shipped critic on a new rank config")
     p.add_argument("--seed-stage-configs", default=None,
                    help="config family of a trained FIRST cascade stage (e.g. pick_lowres); "
                         "eval then runs lowres->this-model cascade")
@@ -116,6 +120,11 @@ def main(argv=None):
     if args.resume_from:
         tr.restore(args.resume_from)
         print(f"resumed from {args.resume_from} at epoch {tr.epoch}", flush=True)
+    elif args.init_params_npz:
+        from diffusion_edf_tpu.agent import load_params_npz
+        tr.params = load_params_npz(args.init_params_npz, tr.params)
+        tr.ema_params = tr.params
+        print(f"warm-started params from {args.init_params_npz}", flush=True)
     print(f"model: {tr.model_cfg['model_name']}  params: {tr.n_params():,}"
           f"{'  [EBM + rank loss]' if tr.rank_cfg is not None else ''}", flush=True)
 
