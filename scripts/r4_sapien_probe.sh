@@ -1,0 +1,32 @@
+#!/bin/bash
+# Sapien PointAttentiveScoreModel convergence probe (r4 finding: full-width
+# training converges 5-10x slower than the Multiscale family; tiny-width CPU
+# probes learn normally).  Discriminate optimization conditioning from
+# capacity: overfit ONE demo at full width at lr x1 vs x5.  If x5 overfits
+# where x1 stalls, the r5 fix is an LR/width scaling rule, not architecture.
+set -u
+cd /root/repo
+LOG=runs/r4_sapien_probe.log
+exec >> "$LOG" 2>&1
+echo "=== sapien probe start $(date) ==="
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "--- [$name] start $(date) ---"
+  timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "runs/${name}_console.log"
+  echo "--- [$name] rc=$rc $(date) ---"
+}
+
+run sapien_overfit_lr1 900 python tools/diag_overfit.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --task-type pick --epochs 300 --dup 8 \
+  --out runs/diag_sapien_lr1
+
+run sapien_overfit_lr5 900 python tools/diag_overfit.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --task-type pick --epochs 300 --dup 8 --lr-mult 5 \
+  --out runs/diag_sapien_lr5
+
+echo "=== sapien probe done $(date) ==="

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--heldout-demos", type=int, default=0, help="also eval on this many unseen demos (seed offset +100)")
     p.add_argument("--resume-from", default=None)
     p.add_argument("--n-scene-pad", type=int, default=2048)
+    p.add_argument("--lr-mult", type=float, default=1.0,
+                   help="multiply the config LR (conditioning diagnostics: if a "
+                        "slow-converging family overfits fast at k*lr, the gap is "
+                        "optimization scale, not capacity)")
     p.add_argument("--out", default="runs/diag_e1")
     args = p.parse_args()
 
@@ -50,6 +54,9 @@ def main():
     )
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
+    if args.lr_mult != 1.0:
+        tr.opt_kwargs["lr"] = float(tr.opt_kwargs.get("lr", 3e-4)) * args.lr_mult
+        print(f"lr override: {tr.opt_kwargs['lr']:g}", flush=True)
     tr.init(demos * args.dup, k_init)
     if args.resume_from:
         tr.restore(args.resume_from)
