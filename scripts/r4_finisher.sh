@@ -1,0 +1,58 @@
+#!/bin/bash
+# Last line of defense for the fine-critic milestone: waits for the retry
+# supervisor, gives the train one more (generous) attempt if needed, runs the
+# cascade eval, and auto-commits artifacts + reports as they land.  The EBM
+# double-backward train step cold-compiles in >25 min in this environment, so
+# earlier attempts can die inside compile; the persistent XLA cache only
+# keeps COMPLETED compilations.
+set -u
+cd /root/repo
+LOG=runs/r4_finisher.log
+exec >> "$LOG" 2>&1
+echo "=== finisher start $(date) ==="
+
+while pgrep -f "r4_session_final_retry.sh" > /dev/null 2>&1; do sleep 30; done
+echo "retry supervisor done $(date)"
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "--- [$name] start $(date) ---"
+  timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "runs/${name}_console.log"
+  echo "--- [$name] rc=$rc $(date) ---"
+}
+
+if [ ! -f checkpoints/panda_mug/pick_ebm_fine.npz ]; then
+  run pick_ebm_fine3 5400 python tools/train_eval_loop.py \
+    --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+    --task-type pick --synthetic-demos 30 --diverse \
+    --init-params-npz checkpoints/panda_mug/pick_ebm.npz \
+    --max-epochs 300 --eval-every 50 --eval-demos 4 \
+    --splits default unseen_poses \
+    --skip-sampler-eval --log-name pick_ebm_fine3 \
+    --export-best checkpoints/panda_mug/pick_ebm_fine.npz
+fi
+
+if [ -f checkpoints/panda_mug/pick_ebm_fine.npz ]; then
+  git add checkpoints/panda_mug/pick_ebm_fine.npz
+  git commit -q -m "fine-scale ranking critic artifact (warm-started from pick_ebm, sub-cm pair config)" || true
+  if [ ! -f reports/eval_pick_cascade_fine.json ]; then
+    run eval_pick_cascade_fine 3600 python -m diffusion_edf_tpu.eval \
+      --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+      --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+      --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+      --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+      --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm_fine \
+      --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm_fine.npz \
+      --task-type pick --synthetic-demos 15 --n-seeds 10 --splits default unseen_poses \
+      --out reports/eval_pick_cascade_fine.json
+  fi
+  if [ -f reports/eval_pick_cascade_fine.json ]; then
+    git add reports/eval_pick_cascade_fine.json runs/pick_ebm_fine*_console.log 2>/dev/null || true
+    git add reports/eval_pick_cascade_fine.json
+    git commit -q -m "pick cascade eval with the fine-scale critic ranking the samples" || true
+  fi
+fi
+
+echo "=== finisher done $(date) ==="
