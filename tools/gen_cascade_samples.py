@@ -1,0 +1,186 @@
+"""Dump REAL cascade samples + true pose errors for critic training.
+
+VERDICT r4 item 1: two rounds of critics trained on synthetic perturbation
+fans (target-centered, i.i.d. direction noise) failed to rank the sampler's
+actual outputs — cascade samples are sampler modes with correlated,
+scene-dependent errors, a distribution the training signal never saw
+(cascade-sample energy-error spearman ~0 while fan spearman was 0.91).
+
+This tool runs the trained lowres->highres cascade on demo scenes and stores,
+per demo: the processed+padded scene/grasp clouds, the final sample poses,
+and each sample's TRUE errors vs the (symmetry-expanded) target — exactly the
+distribution the agent's energy ranking consumes
+(``/root/reference/diffusion_edf/agent.py:163-174``).
+``tools/train_critic_cascade.py`` then fine-tunes the EBM critic with the
+pairwise rank loss over THESE samples.
+
+Usage::
+
+    python tools/gen_cascade_samples.py --task-type pick \
+        --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+        --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+        --n-demos 30 --n-seeds 32 --demo-seed 0 --diverse \
+        --out runs/cascade_samples_pick_train.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task-type", default="pick", choices=["pick", "place"])
+    p.add_argument("--configs-root-dir", default=None,
+                   help="default: panda_mug/{task}_lowres")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--cascade-configs-root-dir", default=None)
+    p.add_argument("--cascade-checkpoint-dir", default=None)
+    p.add_argument("--n-demos", type=int, default=30)
+    p.add_argument("--n-seeds", type=int, default=32)
+    p.add_argument("--demo-seed", type=int, default=0,
+                   help="base seed of the demo draw (train: 0, held-out: e.g. 500)")
+    p.add_argument("--diverse", action="store_true", default=True)
+    p.add_argument("--split", default=None,
+                   help="draw demos from a generalization split instead of the "
+                        "training distribution (e.g. 'distractors')")
+    p.add_argument("--schedule-json", default=None,
+                   help="schedule-sweep report; uses its winner instead of the "
+                        "reference schedule (so samples match deploy inference)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true",
+                   help="10-step schedule (CI smoke; samples are garbage)")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, load_model_bundle
+    from diffusion_edf_tpu.eval import (_symmetry_orbit, pose_errors,
+                                        reference_inference_config)
+    from diffusion_edf_tpu.train.data import TargetPoseDemo, pad_pointcloud
+    from diffusion_edf_tpu.train.synthetic import (make_split_dataset,
+                                                   make_synthetic_dataset)
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    family = "place" if args.task_type == "place" else "pick"
+    root = args.configs_root_dir or f"diffusion_edf_tpu/configs/panda_mug/{family}_lowres"
+    cas_root = (args.cascade_configs_root_dir
+                or f"diffusion_edf_tpu/configs/panda_mug/{family}_highres")
+    bundles = [load_model_bundle(root, checkpoint_dir=args.checkpoint_dir)]
+    if args.cascade_checkpoint_dir:
+        bundles.append(load_model_bundle(cas_root, checkpoint_dir=args.cascade_checkpoint_dir))
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+    agent = DiffusionEdfAgent(bundles, preprocess, unprocess)
+
+    if args.schedule_json and os.path.exists(args.schedule_json):
+        from tools.sweep_schedule import to_diffusion_configs
+
+        with open(args.schedule_json) as f:
+            sweep = json.load(f)
+        win = next(c for c in sweep["candidates"] if c["name"] == sweep["winner"])
+        cfg = to_diffusion_configs(
+            {**win["schedule"], "name": win["name"]}, n_stages=len(bundles)
+        )
+        print(f"using sweep winner schedule: {win['name']}", flush=True)
+    else:
+        cfg = reference_inference_config(n_stages=len(bundles))
+    if args.smoke:
+        cfg = dict(
+            N_steps_list=[[5] for _ in bundles], timesteps_list=[[0.01] for _ in bundles],
+            temperatures_list=[[1.0] for _ in bundles],
+            diffusion_schedules_list=[[[1.0, 0.1]] for _ in bundles],
+            log_t_schedule=True, time_exponent_temp=1.0, time_exponent_alpha=0.5,
+        )
+
+    if args.split:
+        seqs = make_split_dataset(args.split, n_demos=args.n_demos, seed=args.demo_seed)
+    else:
+        seqs = make_synthetic_dataset(
+            n_demos=args.n_demos, seed=args.demo_seed, diverse=args.diverse
+        )
+    step_idx = 0 if args.task_type == "pick" else 1
+    sym_orbit = 72 if args.task_type == "place" else 0
+
+    rng = np.random.default_rng(args.seed)
+    scenes_x, scenes_f, scenes_m = [], [], []
+    grasps_x, grasps_f, grasps_m = [], [], []
+    samples, trans_err, rot_err, targets, names = [], [], [], [], []
+    n_scene_pad = bundles[0].n_scene_pad
+    n_grasp_pad = bundles[0].n_grasp_pad
+    for di, seq in enumerate(seqs):
+        demo = seq[step_idx]
+        center = demo.scene_pcd.points.mean(0)
+        spread = demo.scene_pcd.points.std(0).mean() + 0.05
+        q = rng.normal(size=(args.n_seeds, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        t = center + rng.normal(scale=spread, size=(args.n_seeds, 3))
+        Ts_init = np.concatenate([q, t], axis=-1)
+
+        traj, scene_p, grasp_p, _ = agent.sample(
+            demo.scene_pcd, demo.grasp_pcd, Ts_init,
+            key=jax.random.PRNGKey(args.seed * 1000 + di), record_trajectory=False, **cfg,
+        )
+        final = traj[-1]  # (n_seeds, 7) cm units
+
+        demo_proc = agent.proc_fn(TargetPoseDemo(
+            scene_pcd=demo.scene_pcd, grasp_pcd=demo.grasp_pcd,
+            target_poses=demo.target_poses, symmetry=getattr(demo, "symmetry", None),
+        ))
+        target_proc = demo_proc.target_poses
+        if sym_orbit:
+            sym = demo_proc.symmetry or {}
+            target_proc = _symmetry_orbit(target_proc, sym_orbit, center=sym.get("center"))
+        errs = pose_errors(final, target_proc)
+
+        scene_fp = pad_pointcloud(scene_p, n_scene_pad)
+        grasp_fp = pad_pointcloud(grasp_p, n_grasp_pad)
+        scenes_x.append(np.asarray(scene_fp.x))
+        scenes_f.append(np.asarray(scene_fp.f))
+        scenes_m.append(np.asarray(scene_fp.mask))
+        grasps_x.append(np.asarray(grasp_fp.x))
+        grasps_f.append(np.asarray(grasp_fp.f))
+        grasps_m.append(np.asarray(grasp_fp.mask))
+        samples.append(final)
+        trans_err.append(errs["trans_err"])
+        rot_err.append(errs["rot_err_deg"])
+        targets.append(np.asarray(demo_proc.target_poses[0]))
+        names.append(getattr(demo, "name", str(di)))
+        bad = errs["trans_err"] + 0.2 * errs["rot_err_deg"]
+        print(f"[{di}] {names[-1]}: badness min {bad.min():.2f} med "
+              f"{np.median(bad):.2f} max {bad.max():.2f} cm-eq", flush=True)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez_compressed(
+        args.out,
+        scene_x=np.stack(scenes_x), scene_f=np.stack(scenes_f), scene_mask=np.stack(scenes_m),
+        grasp_x=np.stack(grasps_x), grasp_f=np.stack(grasps_f), grasp_mask=np.stack(grasps_m),
+        samples=np.stack(samples).astype(np.float32),
+        trans_err=np.stack(trans_err).astype(np.float32),
+        rot_err_deg=np.stack(rot_err).astype(np.float32),
+        target=np.stack(targets).astype(np.float32),
+        names=np.asarray(names),
+        meta=np.frombuffer(json.dumps(dict(
+            task_type=args.task_type, n_demos=args.n_demos, n_seeds=args.n_seeds,
+            demo_seed=args.demo_seed, split=args.split, sym_orbit=sym_orbit,
+        )).encode(), dtype=np.uint8),
+    )
+    bad_all = np.stack(trans_err) + 0.2 * np.stack(rot_err)
+    print(f"wrote {args.out}: {len(seqs)} demos x {args.n_seeds} samples; "
+          f"badness med {np.median(bad_all):.2f}, p90 {np.percentile(bad_all, 90):.2f}, "
+          f"gross(>5cm-eq) {(bad_all > 5).mean():.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Inference-schedule sweep for the pick/place cascade (VERDICT r4 item 5).
+
+The r4 pick cascade sits at medians 0.77 cm / 4.4 deg -- right at the
+1 cm / 5 deg success thresholds -- so default-split success (0.53) is limited
+by precision in the last denoising decade, not by mode coverage.  The
+schedule is pure inference config (``eval.py::reference_inference_config``,
+mirroring ``/root/reference/configs/panda_mug/server.yaml:1-10``); at r4's
+217k pose-steps/s a 2x longer schedule costs nothing vs the reference's 900
+*sequential* evals.  This tool evaluates candidate schedules (longer
+temperature-0 quench, lower t floor, denser low-t brackets) on held-out
+demos and reports success per candidate per split.
+
+Usage::
+
+    python tools/sweep_schedule.py --task-type pick \
+        --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+        --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+        --out reports/schedule_sweep_pick.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def round2_schedules(task_type: str):
+    """Refinement around the round-1 winner (``low_floor``: annealing below
+    the reference's 0.012 floor was worth +0.08 default / +0.19 unseen-poses
+    success).  The highres models train down to t=0.003
+    (``pick_highres/train_configs.yaml`` time_schedules), so 0.003 is the
+    lowest in-distribution floor."""
+    head = [[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012]]
+    cands = [
+        dict(  # round-1 winner (control)
+            name="low_floor",
+            steps=[200, 200, 200, 200, 100, 150],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=head + [[0.012, 0.005], [0.005, 0.005]],
+            split=2,
+        ),
+        dict(
+            name="floor3",  # all the way to the training floor
+            steps=[200, 200, 200, 200, 150, 150],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=head + [[0.012, 0.003], [0.003, 0.003]],
+            split=2,
+        ),
+        dict(
+            name="floor3_small_dt",
+            steps=[200, 200, 200, 200, 150, 300],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.005],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=head + [[0.012, 0.003], [0.003, 0.003]],
+            split=2,
+        ),
+        dict(
+            name="floor3_cold",
+            steps=[200, 200, 200, 200, 150, 200],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.008],
+            temps=[1.0, 1.0, 1.0, 1.0, 0.5, 0.0],
+            scheds=head + [[0.012, 0.003], [0.003, 0.003]],
+            split=2,
+        ),
+        dict(
+            name="floor2_extrap",  # slightly below the training floor
+            steps=[200, 200, 200, 200, 150, 200],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.008],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=head + [[0.012, 0.002], [0.002, 0.002]],
+            split=2,
+        ),
+    ]
+    return cands
+
+
+def candidate_schedules(task_type: str):
+    """Each candidate: 5+ annealing brackets split over the 2-stage cascade
+    (stage 1 = lowres, stage 2 = highres refiner; reference splits 2/3)."""
+    # (name, steps, dts, temps, scheds, split_index)
+    base_sched = [[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012], [0.012, 0.012]]
+    cands = [
+        dict(
+            name="reference",
+            steps=[200, 200, 200, 200, 100],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=base_sched,
+            split=2,
+        ),
+        dict(
+            name="long_quench",  # 3x the temperature-0 ascent steps
+            steps=[200, 200, 200, 200, 300],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=base_sched,
+            split=2,
+        ),
+        dict(
+            name="low_floor",  # anneal down to t=0.005 before quenching there
+            steps=[200, 200, 200, 200, 100, 150],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=[[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012],
+                    [0.012, 0.005], [0.005, 0.005]],
+            split=2,
+        ),
+        dict(
+            name="low_floor_cold",  # cold final anneal bracket + quench at 0.005
+            steps=[200, 200, 200, 200, 100, 200],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.01],
+            temps=[1.0, 1.0, 1.0, 1.0, 0.5, 0.0],
+            scheds=[[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012],
+                    [0.012, 0.005], [0.005, 0.005]],
+            split=2,
+        ),
+        dict(
+            name="dense_low_t",  # shift budget from the coarse into the fine decade
+            steps=[150, 150, 250, 300, 250],
+            dts=[0.04, 0.04, 0.02, 0.015, 0.008],
+            temps=[1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=[[1.0, 0.15], [0.15, 0.09], [0.09, 0.025], [0.025, 0.008],
+                    [0.008, 0.008]],
+            split=2,
+        ),
+        dict(
+            name="low_floor_small_dt",  # finer steps in the quench (smaller alpha)
+            steps=[200, 200, 200, 200, 100, 300],
+            dts=[0.04, 0.04, 0.02, 0.02, 0.01, 0.005],
+            temps=[1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+            scheds=[[1.0, 0.15], [0.15, 0.09], [0.09, 0.03], [0.03, 0.012],
+                    [0.012, 0.004], [0.004, 0.004]],
+            split=2,
+        ),
+    ]
+    return cands
+
+
+def to_diffusion_configs(c, n_stages: int):
+    s = c["split"] if n_stages == 2 else len(c["steps"])
+    parts = lambda xs: ([xs[:s], xs[s:]] if n_stages == 2 else [xs])  # noqa: E731
+    return dict(
+        N_steps_list=parts(c["steps"]),
+        timesteps_list=parts(c["dts"]),
+        temperatures_list=parts(c["temps"]),
+        diffusion_schedules_list=parts(c["scheds"]),
+        log_t_schedule=True,
+        time_exponent_temp=1.0,
+        time_exponent_alpha=0.5,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task-type", default="pick", choices=["pick", "place"])
+    p.add_argument("--configs-root-dir",
+                   default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--cascade-configs-root-dir",
+                   default="diffusion_edf_tpu/configs/panda_mug/pick_highres")
+    p.add_argument("--cascade-checkpoint-dir", default=None)
+    p.add_argument("--n-demos", type=int, default=10)
+    p.add_argument("--n-seeds", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--splits", nargs="*", default=["default", "unseen_poses"])
+    p.add_argument("--round2", action="store_true",
+                   help="refinement candidates around the round-1 winner")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from diffusion_edf_tpu.agent import DiffusionEdfAgent, load_model_bundle
+    from diffusion_edf_tpu.eval import evaluate_agent
+    from diffusion_edf_tpu.train.synthetic import make_split_dataset
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    bundles = [load_model_bundle(args.configs_root_dir, checkpoint_dir=args.checkpoint_dir)]
+    if args.cascade_checkpoint_dir:
+        bundles.append(load_model_bundle(
+            args.cascade_configs_root_dir, checkpoint_dir=args.cascade_checkpoint_dir
+        ))
+    preprocess = [
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ]
+    unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
+    agent = DiffusionEdfAgent(bundles, preprocess, unprocess)
+
+    eval_sets = {
+        name: make_split_dataset(name, n_demos=args.n_demos, seed=args.seed + 1000)
+        for name in args.splits
+    }
+
+    report = {"task_type": args.task_type, "n_demos": args.n_demos,
+              "n_seeds": args.n_seeds, "candidates": []}
+    cands = (round2_schedules if args.round2 else candidate_schedules)(args.task_type)
+    for c in cands:
+        cfg = to_diffusion_configs(c, n_stages=len(bundles))
+        entry = {"name": c["name"], "total_steps": int(np.sum(c["steps"])),
+                 "schedule": {k: c[k] for k in ("steps", "dts", "temps", "scheds", "split")}}
+        t0 = time.time()
+        for split, dset in eval_sets.items():
+            r = evaluate_agent(
+                agent, dset, task_type=args.task_type, n_seeds=args.n_seeds,
+                diffusion_configs=cfg, seed=args.seed,
+            )
+            entry[split] = {
+                "success": r["success_rate"],
+                "best_success": r["best_sample_success_rate"],
+                "trans_cm_median": r["trans_err_cm"]["median"],
+                "rot_deg_median": r["rot_err_deg"]["median"],
+            }
+            print(f"[{c['name']}][{split}] success {r['success_rate']:.3f} "
+                  f"trans {r['trans_err_cm']['median']:.3f} cm "
+                  f"rot {r['rot_err_deg']['median']:.2f} deg "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        entry["wall_s"] = round(time.time() - t0, 1)
+        report["candidates"].append(entry)
+        if args.out:  # incremental write: partial results survive a timeout
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+
+    ranked = sorted(
+        report["candidates"],
+        key=lambda e: np.mean([e[s]["success"] for s in args.splits if s in e]),
+        reverse=True,
+    )
+    report["winner"] = ranked[0]["name"]
+    print(f"winner: {report['winner']}", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
