@@ -270,6 +270,9 @@ def main(argv=None):
                         "lowres->highres cascade (reference agent.py:133-174, "
                         "stage-k final pose seeds stage k+1)")
     p.add_argument("--cascade-checkpoint-dir", default=None)
+    p.add_argument("--schedule-json", default=None,
+                   help="tools/sweep_schedule.py report: run inference with its "
+                        "winner schedule instead of the reference recipe")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -305,13 +308,30 @@ def main(argv=None):
     ]
     unprocess = [dict(name="rescale", kwargs=dict(rescale_factor=0.01))]
     agent = DiffusionEdfAgent(bundles, preprocess, unprocess, critic=critic)
+    diffusion_configs = None
+    if args.schedule_json:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"))
+        from sweep_schedule import to_diffusion_configs
+
+        with open(args.schedule_json) as f:
+            sweep = json.load(f)
+        win = next(c for c in sweep["candidates"] if c["name"] == sweep["winner"])
+        diffusion_configs = to_diffusion_configs(
+            {**win["schedule"], "name": win["name"]}, n_stages=len(bundles)
+        )
+        print(f"schedule: sweep winner {win['name']!r}", flush=True)
     if args.splits is not None:
         split_names = args.splits or list(SPLITS)
         report = {}
         for name in split_names:
             demos = make_split_dataset(name, n_demos=args.synthetic_demos, seed=args.seed + 1000)
             report[name] = evaluate_agent(
-                agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed
+                agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed,
+                diffusion_configs=diffusion_configs,
             )
             print(
                 f"[{name}] trans_cm median {report[name]['trans_err_cm']['median']:.2f} "
@@ -321,7 +341,8 @@ def main(argv=None):
             )
     else:
         demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
-        report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed)
+        report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds,
+                                seed=args.seed, diffusion_configs=diffusion_configs)
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:

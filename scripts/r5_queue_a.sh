@@ -1,0 +1,126 @@
+#!/bin/bash
+# Round-5 TPU queue, stage A: pick-side capability push (VERDICT r4 items 1/2/5).
+#
+# Order matters: the sampler models are fine-tuned FIRST, then cascade samples
+# are dumped from the FINAL models + winner schedule, then the critic trains
+# on those samples — training the critic on a stale sampler distribution is
+# exactly the r4 failure mode.
+set -u
+cd /root/repo
+mkdir -p runs reports
+LOG=runs/r5_queue_a.log
+exec >> "$LOG" 2>&1
+echo "=== r5 queue A start $(date) ==="
+
+probe() {  # wait until the TPU answers a tiny matmul (axon tunnel flake guard)
+  for i in $(seq 1 30); do
+    if timeout 120 python -c "import jax, jax.numpy as jnp; (jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready()" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "tpu probe $i failed $(date)"; sleep 60
+  done
+  echo "TPU UNREACHABLE, giving up $(date)"; exit 1
+}
+
+run() {  # run <name> <timeout_s> <cmd...>  (one retry on timeout/crash)
+  local name=$1 tmo=$2; shift 2
+  probe
+  for attempt in 1 2; do
+    echo "--- [$name] attempt $attempt start $(date) ---"
+    timeout "$tmo" "$@" > "runs/${name}_console.log" 2>&1
+    local rc=$?
+    echo "rc=$rc" >> "runs/${name}_console.log"
+    echo "--- [$name] attempt $attempt rc=$rc $(date) ---"
+    [ "$rc" -eq 0 ] && return 0
+    probe
+  done
+  return 1
+}
+
+# 0. schedule refinement sweep (round 2: floors at/below the 0.003 training
+#    floor; the round-1 winner annealed to 0.005).  The first attempt wedged
+#    the axon tunnel for ~25 min — hence the probe/retry harness above.
+run sweep_r2 3600 python tools/sweep_schedule.py --round2 --task-type pick \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --n-demos 10 --n-seeds 10 --splits default unseen_poses \
+  --out reports/schedule_sweep_pick_r2.json
+# fall back to the round-1 winner if the refinement never landed
+[ -f reports/schedule_sweep_pick_r2.json ] || cp reports/schedule_sweep_pick.json reports/schedule_sweep_pick_r2.json
+
+# 1. pick_lowres fine-tune: 80 diverse demos (2x r4) + clutter-heavy draw,
+#    LOW LR from the shipped artifact (the r4 cold clutter retrain collapsed
+#    to 10.5 cm default median; fine-tuning preserves the good optimum).
+run pick_lr_r5 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --task-type pick --synthetic-demos 80 --diverse --clutter-heavy \
+  --init-params-npz checkpoints/panda_mug/pick_lowres.npz \
+  --lr 1e-4 --max-epochs 500 --eval-every 100 --eval-demos 4 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name pick_lr_r5 \
+  --export-best checkpoints/panda_mug/pick_lowres_r5.npz
+
+# keep the r4 artifact unless the fine-tune actually improved; the eval
+# below runs on whichever file exists
+if [ -f checkpoints/panda_mug/pick_lowres_r5.npz ]; then
+  cp checkpoints/panda_mug/pick_lowres.npz checkpoints/panda_mug/pick_lowres_r4_backup.npz
+  mv checkpoints/panda_mug/pick_lowres_r5.npz checkpoints/panda_mug/pick_lowres.npz
+fi
+
+# 2. pick_highres fine-tune, same recipe, cascade-seeded eval on the new lowres
+run pick_hr_r5 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --task-type pick --synthetic-demos 80 --diverse --clutter-heavy \
+  --init-params-npz checkpoints/panda_mug/pick_highres.npz \
+  --lr 1e-4 --max-epochs 500 --eval-every 100 --eval-demos 4 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --seed-stage-configs diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --seed-stage-checkpoint checkpoints/panda_mug/pick_lowres.npz \
+  --log-name pick_hr_r5 \
+  --export-best checkpoints/panda_mug/pick_highres_r5.npz
+
+if [ -f checkpoints/panda_mug/pick_highres_r5.npz ]; then
+  cp checkpoints/panda_mug/pick_highres.npz checkpoints/panda_mug/pick_highres_r4_backup.npz
+  mv checkpoints/panda_mug/pick_highres_r5.npz checkpoints/panda_mug/pick_highres.npz
+fi
+
+# 3. cascade-sample dumps from the FINAL pick models + winner schedule
+run dump_pick_train 2400 python tools/gen_cascade_samples.py --task-type pick \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --n-demos 30 --n-seeds 24 --demo-seed 0 \
+  --out runs/cascade_samples_pick_train.npz
+
+run dump_pick_eval 2400 python tools/gen_cascade_samples.py --task-type pick \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --n-demos 20 --n-seeds 24 --demo-seed 500 \
+  --out runs/cascade_samples_pick_eval.npz
+
+# 4. critic fine-tune on the real samples (pick)
+run critic_pick_r5 3600 python tools/train_critic_cascade.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --init-params-npz checkpoints/panda_mug/pick_ebm.npz \
+  --train-dump runs/cascade_samples_pick_train.npz \
+  --eval-dump runs/cascade_samples_pick_eval.npz \
+  --max-epochs 250 --eval-every 25 \
+  --export-best checkpoints/panda_mug/pick_ebm_cascade.npz \
+  --out reports/critic_cascade_pick.json
+
+# 5. final pick cascade eval: 4 splits x 30 demos, winner schedule + new critic
+run eval_pick_cascade_r5 5400 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm_cascade.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --task-type pick --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_pick_cascade.json
+
+echo "=== r5 queue A done $(date) ==="

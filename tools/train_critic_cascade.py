@@ -1,0 +1,300 @@
+"""Fine-tune the EBM critic to rank REAL cascade samples (VERDICT r4 item 1).
+
+The critic's one job is energy-ordering the agent's final samples
+(``/root/reference/diffusion_edf/agent.py:163-174``).  Fan-trained critics
+(r3/r4) hit 0.91 held-out spearman on synthetic perturbation fans yet ~0 on
+actual cascade samples — and picked WORSE than random on pick (executed 0.43
+vs 0.53 mean).  Root cause: distribution mismatch (fans = target-centered
+i.i.d. noise; cascade samples = correlated sampler modes).
+
+Fix: train the pairwise rank loss (``train/ranking.py``) directly on cascade
+samples dumped by ``tools/gen_cascade_samples.py`` (true pose errors as
+badness), plus a small synthetic fan per step so the energy still orders
+gross out-of-distribution failures (the 30 cm place tail, VERDICT r4 weak #5).
+
+Model selection is on what the agent consumes: executed success (argmin-E
+sample within 1 cm / 5 deg) over HELD-OUT demos' cascade samples.  The final
+report includes the noise-floor probe the verdict asked for: within-error-
+decile energy spread vs cross-decile energy gap — if the spread swamps the
+gap, sub-cm ranking is provably below the critic's noise floor.
+
+Usage::
+
+    python tools/train_critic_cascade.py \
+        --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+        --init-params-npz checkpoints/panda_mug/pick_ebm.npz \
+        --train-dump runs/cascade_samples_pick_train.npz \
+        --eval-dump runs/cascade_samples_pick_eval.npz \
+        --export-best checkpoints/panda_mug/pick_ebm.npz \
+        --out reports/critic_cascade_pick.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def load_dump(path):
+    with np.load(path) as z:
+        d = {k: z[k] for k in z.files}
+    d["badness"] = d["trans_err"] + 0.2 * d["rot_err_deg"]
+    return d
+
+
+def noise_floor_probe(energies, badness, n_deciles: int = 10):
+    """Within-decile energy spread vs cross-decile energy gap, pooled over
+    demos after per-demo standardization (energies are only compared within a
+    demo, so offsets between demos are irrelevant)."""
+    stds, means = [], []
+    for e, b in zip(energies, badness):
+        if e.std() == 0:
+            continue
+        e = (e - e.mean()) / e.std()
+        order = np.argsort(b)
+        bins = np.array_split(order, n_deciles)
+        means.append([float(e[ix].mean()) for ix in bins if len(ix)])
+        stds.append([float(e[ix].std()) for ix in bins if len(ix)])
+    if not means:
+        return {}
+    mean_curve = np.mean([m for m in means if len(m) == n_deciles], axis=0)
+    within_std = float(np.mean([s for s in stds if len(s) == n_deciles]))
+    gap = float(mean_curve[-1] - mean_curve[0])  # worst decile - best decile
+    return {
+        "decile_energy_mean_curve": [round(float(x), 3) for x in mean_curve],
+        "within_decile_energy_std": round(within_std, 3),
+        "best_to_worst_decile_gap": round(gap, 3),
+        "gap_over_noise": round(gap / max(within_std, 1e-6), 3),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs-root-dir", required=True)
+    p.add_argument("--init-params-npz", default=None)
+    p.add_argument("--train-dump", required=True)
+    p.add_argument("--eval-dump", required=True)
+    p.add_argument("--max-epochs", type=int, default=300)
+    p.add_argument("--eval-every", type=int, default=25)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--fan-negatives", type=int, default=16,
+                   help="per-step synthetic fan negatives (gross-failure anchor)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--export-best", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from diffusion_edf_tpu.agent import load_params_npz
+    from diffusion_edf_tpu.models.data import FeaturedPoints
+    from diffusion_edf_tpu.train.factory import build_score_model
+    from diffusion_edf_tpu.train.ranking import (RankConfig, rank_loss,
+                                                 sample_ranked_poses)
+    from diffusion_edf_tpu.train.trainer import load_configs
+    from diffusion_edf_tpu.utils.profiling import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    train_cfg, _, model_cfg = load_configs(args.configs_root_dir)
+    model = build_score_model(
+        model_cfg["model_name"], model_cfg["model_kwargs"], deterministic_fps=True
+    )
+    assert model_cfg["model_kwargs"]["score_head_kwargs"].get("ebm", False), (
+        "critic fine-tune needs an EBM config family")
+
+    tr = load_dump(args.train_dump)
+    ev = load_dump(args.eval_dump)
+    D, S = tr["samples"].shape[:2]
+    print(f"train dump: {D} demos x {S} samples; eval dump: "
+          f"{ev['samples'].shape[0]} x {ev['samples'].shape[1]}", flush=True)
+
+    fan_cfg = RankConfig(n_negatives=args.fan_negatives)
+    rank_cfg = RankConfig.from_dict(train_cfg.get("critic_rank_configs", {}) or {})
+
+    def fp(x, f, m):
+        return FeaturedPoints(x=jnp.asarray(x), f=jnp.asarray(f), mask=jnp.asarray(m))
+
+    stacked = dict(
+        scene=fp(tr["scene_x"], tr["scene_f"], tr["scene_mask"]),
+        grasp=fp(tr["grasp_x"], tr["grasp_f"], tr["grasp_mask"]),
+        samples=jnp.asarray(tr["samples"]),
+        badness=jnp.asarray(tr["badness"]),
+        target=jnp.asarray(tr["target"]),
+    )
+
+    # ---- init ----
+    key = jax.random.PRNGKey(args.seed)
+    scene0 = jax.tree_util.tree_map(lambda a: a[0], stacked["scene"])
+    grasp0 = jax.tree_util.tree_map(lambda a: a[0], stacked["grasp"])
+    Ts0 = stacked["samples"][0][:2]
+    params = jax.jit(model.init)(key, Ts0, scene0, grasp0, jnp.full((2,), 0.5))
+    if args.init_params_npz:
+        params = load_params_npz(args.init_params_npz, params)
+        print(f"warm-started from {args.init_params_npz}", flush=True)
+
+    steps_total = args.max_epochs * D
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.amsgrad(optax.cosine_decay_schedule(args.lr, steps_total, alpha=0.1)),
+    )
+    opt_state = tx.init(params)
+
+    # ---- jitted epoch: scan over shuffled demos ----
+    def energy_all(p, poses, scene, grasp, dropout_key):
+        def fwd(m, T, s, g):
+            key_ms = m.get_key_pcd_multiscale(s, deterministic=False)
+            query = m.get_query_pcd(g, deterministic=False)
+            return m.energy(T, key_ms, query, jnp.ones((T.shape[0],), T.dtype),
+                            deterministic=False)
+
+        return model.apply(p, poses, scene, grasp, method=fwd,
+                           rngs={"dropout": dropout_key})
+
+    def step_fn(params, opt_state, key, scene, grasp, samples, badness, target):
+        k_fan, k_drop = jax.random.split(key)
+        fan_Ts, fan_bad = sample_ranked_poses(k_fan, target, fan_cfg)
+        poses = jnp.concatenate([fan_Ts, samples], axis=0)
+        bad = jnp.concatenate([fan_bad, badness], axis=0)
+        n_fan = fan_Ts.shape[0]
+
+        def loss_fn(p):
+            E = energy_all(p, poses, scene, grasp, k_drop)
+            loss, acc = rank_loss(E, bad, rank_cfg)
+            closs, cacc = rank_loss(E[n_fan:], bad[n_fan:], rank_cfg)
+            # cascade-only ranking is the deliverable; the full-pool term
+            # anchors gross failures. 50/50 keeps both in the gradient.
+            total = 0.5 * loss + 0.5 * closs
+            return total, dict(loss=total, acc=acc, cascade_loss=closs, cascade_acc=cacc)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, stats
+
+    def epoch_fn(params, opt_state, key, order):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            b = jax.tree_util.tree_map(lambda a: a[idx], stacked)
+            params, opt_state, stats = step_fn(
+                params, opt_state, sub, b["scene"], b["grasp"],
+                b["samples"], b["badness"], b["target"],
+            )
+            return (params, opt_state, key), stats
+
+        (params, opt_state, _), stats = jax.lax.scan(body, (params, opt_state, key), order)
+        return params, opt_state, stats
+
+    epoch_jit = jax.jit(epoch_fn)
+
+    # ---- eval on held-out cascade samples (deterministic energies) ----
+    def eval_energy(p, poses, scene, grasp):
+        def fwd(m, T, s, g):
+            key_ms = m.get_key_pcd_multiscale(s)
+            query = m.get_query_pcd(g)
+            return m.energy(T, key_ms, query, jnp.ones((T.shape[0],), T.dtype))
+
+        return model.apply(p, poses, scene, grasp, method=fwd)
+
+    eval_energy_jit = jax.jit(eval_energy)
+
+    from scipy.stats import spearmanr
+
+    def run_eval(p):
+        Ed, sp = [], []
+        sel_succ, unranked_succ, best_succ, regret, gross_ok = [], [], [], [], []
+        for d in range(ev["samples"].shape[0]):
+            e = np.asarray(eval_energy_jit(
+                p, jnp.asarray(ev["samples"][d]),
+                fp(ev["scene_x"][d], ev["scene_f"][d], ev["scene_mask"][d]),
+                fp(ev["grasp_x"][d], ev["grasp_f"][d], ev["grasp_mask"][d]),
+            ))
+            b = ev["badness"][d]
+            te, re = ev["trans_err"][d], ev["rot_err_deg"][d]
+            succ = (te <= 1.0) & (re <= 5.0)
+            i = int(np.argmin(e))
+            Ed.append(e)
+            sp.append(float(spearmanr(e, b).statistic) if e.std() > 0 and b.std() > 0 else 0.0)
+            sel_succ.append(bool(succ[i]))
+            unranked_succ.append(float(succ.mean()))
+            best_succ.append(bool(succ.any()))
+            regret.append(float(b[i] - b.min()))
+            gross_ok.append(bool(b[i] <= 5.0) if (b <= 5.0).any() else True)
+        return {
+            "cascade_spearman_mean": round(float(np.mean(sp)), 3),
+            "executed_success": round(float(np.mean(sel_succ)), 3),
+            "unranked_success": round(float(np.mean(unranked_succ)), 3),
+            "best_sample_success": round(float(np.mean(best_succ)), 3),
+            "mean_regret_cm_eq": round(float(np.mean(regret)), 3),
+            "gross_rejection_rate": round(float(np.mean(gross_ok)), 3),
+        }, Ed
+
+    report = {"epochs": [], "train_dump": args.train_dump, "eval_dump": args.eval_dump}
+    best = {"score": -np.inf, "epoch": -1, "params": None}
+
+    def maybe_best(epoch, m, p):
+        score = m["executed_success"] - 0.01 * m["mean_regret_cm_eq"]
+        if score > best["score"]:
+            best.update(score=score, epoch=epoch, params=jax.device_get(p), metrics=m)
+            print(f"  new best @ep {epoch}: executed {m['executed_success']:.3f} "
+                  f"(unranked {m['unranked_success']:.3f})", flush=True)
+
+    t0 = time.time()
+    m0, _ = run_eval(params)
+    print(f"epoch 0 (warm-start): {m0}", flush=True)
+    report["epochs"].append({"epoch": 0, **m0})
+    maybe_best(0, m0, params)
+
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(1, args.max_epochs + 1):
+        key, sub = jax.random.split(key)
+        order = rng.permutation(D)
+        params, opt_state, stats = epoch_jit(params, opt_state, sub, jnp.asarray(order))
+        if epoch % 25 == 0 or epoch == 1:
+            s = {k: float(np.mean(v)) for k, v in jax.device_get(stats).items()}
+            print(f"epoch {epoch:4d}  loss {s['loss']:.4f}  acc {s['acc']:.3f}  "
+                  f"cascade_acc {s['cascade_acc']:.3f}  {time.time()-t0:.0f}s", flush=True)
+        if epoch % args.eval_every == 0 or epoch == args.max_epochs:
+            m, _ = run_eval(params)
+            print(f"  eval @ep {epoch}: {m}", flush=True)
+            report["epochs"].append({"epoch": epoch, **m})
+            maybe_best(epoch, m, params)
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump({k: v for k, v in report.items()}, f, indent=1)
+
+    # ---- final: noise-floor probe with the best params ----
+    bp = best["params"]
+    mfin, Ed = run_eval(bp)
+    report["best"] = {"epoch": best["epoch"], **best["metrics"]}
+    report["noise_floor"] = noise_floor_probe(Ed, [ev["badness"][d] for d in range(len(Ed))])
+    print(f"best @ep {best['epoch']}: {best['metrics']}", flush=True)
+    print(f"noise floor: {report['noise_floor']}", flush=True)
+
+    if args.export_best and best["params"] is not None:
+        from export_params import flatten
+
+        flat = flatten(best["params"])
+        flat = {k: v.astype(np.float16) if v.dtype == np.float32 else v
+                for k, v in flat.items()}
+        meta = dict(tool="train_critic_cascade", best_epoch=best["epoch"],
+                    metrics=best["metrics"])
+        flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        os.makedirs(os.path.dirname(os.path.abspath(args.export_best)), exist_ok=True)
+        np.savez_compressed(args.export_best, **flat)
+        print(f"exported best -> {args.export_best}", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

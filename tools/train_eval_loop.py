@@ -79,6 +79,8 @@ def main(argv=None):
     p.add_argument("--clutter-heavy", action="store_true",
                    help="reweight the diverse per-demo distractor draw toward the top of "
                         "the training range (r4 clutter curriculum)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override optimizer_kwargs.lr (fine-tuning runs)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="override optimizer_kwargs.grad_clip_norm")
     p.add_argument("--lr-min-factor", type=float, default=None,
@@ -100,6 +102,8 @@ def main(argv=None):
     log_name = args.log_name or f"{args.task_type}_{time.strftime('%m%d-%H%M')}"
     log_dir = os.path.join("runs", log_name)
     tr = DiffusionEdfTrainer(args.configs_root_dir, log_dir=log_dir)
+    if args.lr is not None:
+        tr.opt_kwargs["lr"] = args.lr
     if args.grad_clip_norm is not None:
         tr.opt_kwargs["grad_clip_norm"] = args.grad_clip_norm
     if args.lr_min_factor is not None:
