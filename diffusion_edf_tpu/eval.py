@@ -255,6 +255,8 @@ def main(argv=None):
     p.add_argument("--configs-root-dir", required=True)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"],
+                   help="synthetic task geometry (train/synthetic.py FAMILIES)")
     p.add_argument("--n-seeds", type=int, default=10)
     p.add_argument("--synthetic-demos", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
@@ -328,7 +330,8 @@ def main(argv=None):
         split_names = args.splits or list(SPLITS)
         report = {}
         for name in split_names:
-            demos = make_split_dataset(name, n_demos=args.synthetic_demos, seed=args.seed + 1000)
+            demos = make_split_dataset(name, n_demos=args.synthetic_demos,
+                                       seed=args.seed + 1000, family=args.task_family)
             report[name] = evaluate_agent(
                 agent, demos, task_type=args.task_type, n_seeds=args.n_seeds, seed=args.seed,
                 diffusion_configs=diffusion_configs,
@@ -340,7 +343,8 @@ def main(argv=None):
                 flush=True,
             )
     else:
-        demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed)
+        demos = make_synthetic_dataset(n_demos=args.synthetic_demos, seed=args.seed,
+                                       family=args.task_family)
         report = evaluate_agent(agent, demos, task_type=args.task_type, n_seeds=args.n_seeds,
                                 seed=args.seed, diffusion_configs=diffusion_configs)
     text = json.dumps(report, indent=2)

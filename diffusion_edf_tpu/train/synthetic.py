@@ -301,6 +301,139 @@ def make_synthetic_demo(
     return DemoSequence(steps=[pick, place])
 
 
+def _bowl(rng, n, color, shape_scale: float = 1.0):
+    """Bowl-like object in its own frame: open hemispherical shell (rim up)
+    + closed bottom disk + a bright rim marker breaking the yaw symmetry so
+    pick targets are unambiguous (the PLACE task keeps its physical z-orbit
+    symmetry — a bowl centers on a dish at any yaw)."""
+    rim_r = 0.055 * shape_scale
+    depth = 0.035 * (2.0 - shape_scale)
+    n_shell = int(n * 0.7)
+    n_bottom = int(n * 0.2)
+    n_marker = n - n_shell - n_bottom
+    # shell: z = depth * (r/rim_r)^2 paraboloid, points uniform in area-ish
+    r = rim_r * np.sqrt(rng.uniform(0.15, 1.0, n_shell))
+    phi = rng.uniform(0, 2 * np.pi, n_shell)
+    shell = np.stack(
+        [r * np.cos(phi), r * np.sin(phi), depth * (r / rim_r) ** 2], axis=-1
+    )
+    cs = np.clip(np.asarray(color)[None] + rng.normal(0, 0.03, (n_shell, 3)), 0, 1)
+    bottom, cb = _disk(rng, [0, 0, 0.0], rim_r * 0.4, n_bottom, [0.8, 0.1, 0.1])
+    marker, cm = _cylinder(
+        rng, [rim_r, 0, depth + 0.004], [0, 0, 1], 0.005, 0.008, n_marker, [0.95, 0.9, 0.1]
+    )
+    return np.concatenate([shell, bottom, marker]), np.concatenate([cs, cb, cm])
+
+
+def make_bowl_demo(
+    seed: int,
+    n_scene: int = 2800,
+    n_grasp: int = 700,
+    pose_shift: bool = False,
+    n_distractors: int = 0,
+    shape_scale: float = 1.0,
+    tilt: Optional[float] = None,  # unused (no pole); kept for split parity
+) -> DemoSequence:
+    """Second task family: "bowl on dish" (reference analog:
+    ``demo/panda_bowl_on_dish`` / ``evaluate_real_bowl.ipynb``).
+
+    * pick:  scene = table + dish + bowl; target = top-down rim grasp at the
+      marker azimuth (the demo's recorded grasp point).
+    * place: scene = table + dish; grasp = gripper + bowl in hand; target =
+      bowl centered on the dish, any yaw (z-orbit symmetry about the dish
+      center, like the mug family's hanger roll).
+    """
+    rng = np.random.default_rng(seed + 70_000)
+
+    table, tc = _plane(rng, [0, 0.35, 0.0], 0, 0, 0.5, int(n_scene * 0.45), [0.45, 0.35, 0.25])
+    # dish: flat disk + rim ring
+    if pose_shift:
+        dish_pos = np.array(
+            [rng.uniform(0.15, 0.22) * rng.choice([-1.0, 1.0]), rng.uniform(0.45, 0.55), 0.005]
+        )
+    else:
+        dish_pos = np.array([rng.uniform(-0.12, 0.12), rng.uniform(0.28, 0.44), 0.005])
+    dish_r = 0.07
+    n_dish = int(n_scene * 0.22)
+    dish_flat, df = _disk(rng, dish_pos, dish_r, int(n_dish * 0.7), [0.85, 0.85, 0.9])
+    dish_rim, dr = _cylinder(
+        rng, dish_pos + [0, 0, 0.006], [0, 0, 1], dish_r, 0.012, n_dish - int(n_dish * 0.7),
+        [0.8, 0.8, 0.88],
+    )
+    # bowl on the table (pick step), away from the dish
+    while True:
+        bowl_pos = np.array([rng.uniform(-0.15, 0.15), rng.uniform(0.25, 0.45), 0.0])
+        if np.linalg.norm(bowl_pos[:2] - dish_pos[:2]) > 0.15:
+            break
+    if pose_shift:
+        bowl_pos = np.array(
+            [rng.uniform(0.15, 0.22) * rng.choice([-1.0, 1.0]), rng.uniform(0.18, 0.24), 0.0]
+        )
+    bowl_yaw = rng.uniform(0, 2 * np.pi)
+    n_bowl = int(n_scene * 0.33) - (int(n_scene * 0.1) if n_distractors else 0)
+    bowl_local, bc = _bowl(rng, n_bowl, [0.2, 0.55, 0.35], shape_scale=shape_scale)
+    cz, sz = np.cos(bowl_yaw), np.sin(bowl_yaw)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    bowl_world = bowl_local @ Rz.T + bowl_pos
+
+    scene_parts = [table, dish_flat, dish_rim, bowl_world]
+    scene_cols = [tc, df, dr, bc]
+    if n_distractors:
+        dp, dc = _distractors(rng, int(n_scene * 0.1), n_distractors)
+        scene_parts.append(dp)
+        scene_cols.append(dc)
+    scene = PointCloud(points=np.concatenate(scene_parts), colors=np.concatenate(scene_cols))
+    place_scene = PointCloud(
+        points=np.concatenate([p for p, c in zip(scene_parts, scene_cols) if p is not bowl_world]),
+        colors=np.concatenate([c for p, c in zip(scene_parts, scene_cols) if p is not bowl_world]),
+    )
+
+    # pick: top-down rim grasp at the marker azimuth (bowl frame +x)
+    rim_r = 0.055 * shape_scale
+    depth = 0.035 * (2.0 - shape_scale)
+    grip_local = np.array([rim_r, 0.0, depth])  # rim point at the marker
+    grip_world = bowl_pos + Rz @ grip_local
+    gripper_pts, gripper_cols = _gripper(rng, n_grasp)
+    pick_grasp = PointCloud(points=gripper_pts, colors=gripper_cols)
+    # fingers straddle the rim: separation axis (hand x) tangential ->
+    # rotate the top-down base by (yaw + 90deg) about z
+    q_pick = _quat_mul(_quat_about([0, 0, 1], bowl_yaw + np.pi / 2), _Q_TOPDOWN)
+    t_pick = np.array([grip_world[0], grip_world[1], depth]) - _quat_apply(q_pick, GRIPPER_TCP[None])[0]
+    pick_pose = np.concatenate([q_pick, t_pick])[None]
+
+    # place: bowl held in hand (same relative transform math as the mug)
+    t_rel = _quat_apply(_Q_TOPDOWN, (bowl_pos - t_pick)[None] @ Rz)[0]
+    bowl_hand_local, bh = _bowl(rng, int(n_grasp * 0.65), [0.2, 0.55, 0.35], shape_scale=shape_scale)
+    bowl_in_hand = _quat_apply(_Q_TOPDOWN, bowl_hand_local) + t_rel
+    grip2, g2c = _gripper(rng, n_grasp - int(n_grasp * 0.65))
+    place_grasp = PointCloud(
+        points=np.concatenate([grip2, bowl_in_hand]),
+        colors=np.concatenate([g2c, bh]),
+    )
+    # bowl pose on the dish: centered, any yaw (record one)
+    yaw2 = rng.uniform(0, 2 * np.pi)
+    q_bowl_place = _quat_about([0, 0, 1], yaw2)
+    bowl_place_pos = dish_pos + [0, 0, 0.008]
+    t_relinv = -_quat_apply(_Q_TOPDOWN, t_rel[None])[0]
+    q_place = _quat_mul(q_bowl_place, _Q_TOPDOWN)
+    t_place = bowl_place_pos + _quat_apply(q_bowl_place, t_relinv[None])[0]
+    place_pose = np.concatenate([q_place, t_place])[None]
+
+    pick = TargetPoseDemo(
+        scene_pcd=scene, grasp_pcd=pick_grasp, target_poses=pick_pose,
+        name=f"bowl_{seed}_pick",
+    )
+    place = TargetPoseDemo(
+        scene_pcd=place_scene, grasp_pcd=place_grasp, target_poses=place_pose,
+        name=f"bowl_{seed}_place",
+        symmetry={"axis": [0.0, 0.0, 1.0], "center": bowl_place_pos.tolist()},
+    )
+    return DemoSequence(steps=[pick, place])
+
+
+FAMILIES = {"mug": make_synthetic_demo, "bowl": make_bowl_demo}
+
+
 # Diverse-training factor ranges (r3).  The r2 models trained on the narrow
 # fixed-factor distribution (scale 1.0, tilt 0.25, no clutter) and collapsed
 # on the held-out splits (unseen_instances success 0.03, VERDICT r2 weak #1);
@@ -316,6 +449,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     diverse: bool = False,
     clutter_heavy: bool = False,
+    family: str = "mug",
     **kwargs,
 ) -> List[DemoSequence]:
     """Training demo set.  ``diverse=True`` draws per-demo mug scale / pole
@@ -328,9 +462,14 @@ def make_synthetic_dataset(
     collapsed to 0.28).  The split definitions (``SPLITS``) are unchanged —
     the distractors split still tests count extrapolation beyond
     ``TRAIN_MAX_DISTRACTORS``.
+
+    ``family``: task geometry — ``"mug"`` (mug on hanger) or ``"bowl"``
+    (bowl on dish, the second trained family; reference ships
+    ``demo/panda_bowl_on_dish``).
     """
+    mk = FAMILIES[family]
     if not diverse:
-        return [make_synthetic_demo(seed + i, **kwargs) for i in range(n_demos)]
+        return [mk(seed + i, **kwargs) for i in range(n_demos)]
     rng = np.random.default_rng(seed + 313)
     clutter_draw = (
         [1, TRAIN_MAX_DISTRACTORS, TRAIN_MAX_DISTRACTORS, TRAIN_MAX_DISTRACTORS]
@@ -343,7 +482,7 @@ def make_synthetic_dataset(
         o.setdefault("shape_scale", float(rng.uniform(*TRAIN_SCALE_RANGE)))
         o.setdefault("tilt", float(rng.uniform(*TRAIN_TILT_RANGE)))
         o.setdefault("n_distractors", int(rng.choice(clutter_draw)))
-        out.append(make_synthetic_demo(seed + i, **o))
+        out.append(mk(seed + i, **o))
     return out
 
 
@@ -360,23 +499,24 @@ SPLITS = {
 
 
 def make_split_dataset(
-    split: str, n_demos: int = 10, seed: int = 1000, **kwargs
+    split: str, n_demos: int = 10, seed: int = 1000, family: str = "mug", **kwargs
 ) -> List[DemoSequence]:
     """Demo set for one generalization split; seeds default to a held-out
     range (train uses 0..n-1)."""
+    mk = FAMILIES[family]
     opts = dict(SPLITS[split])
     out = []
     rng = np.random.default_rng(seed + 777)
     for i in range(n_demos):
         o = dict(opts)
         if o.get("shape_scale", 1.0) is None:
-            # unseen instance: mug scale strictly OUTSIDE the diverse training
-            # range [0.85, 1.15] (reference semantics: test mugs differ from
-            # every training mug)
+            # unseen instance: object scale strictly OUTSIDE the diverse
+            # training range [0.85, 1.15] (reference semantics: test objects
+            # differ from every training object)
             lo, hi = TRAIN_SCALE_RANGE
             if rng.uniform() < 0.5:
                 o["shape_scale"] = float(rng.uniform(lo - 0.15, lo - 0.03))
             else:
                 o["shape_scale"] = float(rng.uniform(hi + 0.03, hi + 0.15))
-        out.append(make_synthetic_demo(seed + i, **o, **kwargs))
+        out.append(mk(seed + i, **o, **kwargs))
     return out

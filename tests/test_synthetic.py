@@ -156,3 +156,39 @@ def test_shape_scale_default_identity():
     b = make_synthetic_demo(7, shape_scale=1.0, n_distractors=0, pose_shift=False)
     np.testing.assert_array_equal(a[0].scene_pcd.points, b[0].scene_pcd.points)
     np.testing.assert_array_equal(a[1].target_poses, b[1].target_poses)
+
+
+# ---------------- second task family: bowl on dish ----------------
+
+def test_bowl_pick_keypoints_land_at_grasp_contact():
+    """Bowl family keeps the load-bearing hand-frame convention: posed pick
+    keypoints must touch the bowl rim."""
+    from diffusion_edf_tpu.train.synthetic import make_bowl_demo
+
+    kps = np.array([[0.005, 0.005, 0.105], [-0.005, -0.005, 0.105]])
+    for seed in range(3):
+        demo = make_bowl_demo(seed)[0]
+        kp_w = _pose_apply(demo.target_poses[0], kps)
+        d = np.linalg.norm(demo.scene_pcd.points[None] - kp_w[:, None], axis=-1).min(1)
+        assert d.max() < 0.02, f"seed {seed}: keypoint {d.max()*100:.1f}cm from scene"
+
+
+def test_bowl_place_grasp_cloud_inside_query_bbox():
+    from diffusion_edf_tpu.train.synthetic import make_bowl_demo
+
+    for seed in range(3):
+        demo = make_bowl_demo(seed)[1]
+        frac = (demo.grasp_pcd.points[:, 2] >= 0.08).mean()
+        assert frac > 0.5, f"seed {seed}: only {frac:.2f} of place grasp cloud in bbox"
+        assert demo.symmetry is not None and "center" in demo.symmetry
+
+
+def test_family_dispatch():
+    from diffusion_edf_tpu.train.synthetic import make_split_dataset
+
+    mug = make_synthetic_dataset(n_demos=2, diverse=True, family="mug")
+    bowl = make_synthetic_dataset(n_demos=2, diverse=True, family="bowl")
+    assert mug[0][0].name.startswith("synt_") and bowl[0][0].name.startswith("bowl_")
+    for split in SPLITS:
+        ds = make_split_dataset(split, n_demos=1, family="bowl")
+        assert ds[0][0].name.startswith("bowl_")

@@ -38,6 +38,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"])
     p.add_argument("--configs-root-dir", default=None,
                    help="default: panda_mug/{task}_lowres")
     p.add_argument("--checkpoint-dir", required=True)
@@ -105,10 +106,12 @@ def main(argv=None):
         )
 
     if args.split:
-        seqs = make_split_dataset(args.split, n_demos=args.n_demos, seed=args.demo_seed)
+        seqs = make_split_dataset(args.split, n_demos=args.n_demos, seed=args.demo_seed,
+                                  family=args.task_family)
     else:
         seqs = make_synthetic_dataset(
-            n_demos=args.n_demos, seed=args.demo_seed, diverse=args.diverse
+            n_demos=args.n_demos, seed=args.demo_seed, diverse=args.diverse,
+            family=args.task_family,
         )
     step_idx = 0 if args.task_type == "pick" else 1
     sym_orbit = 72 if args.task_type == "place" else 0

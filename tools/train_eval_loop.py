@@ -49,6 +49,8 @@ def main(argv=None):
     p.add_argument("--configs-root-dir", required=True)
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
     p.add_argument("--synthetic-demos", type=int, default=10)
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"],
+                   help="synthetic task geometry (train/synthetic.py FAMILIES)")
     p.add_argument("--diverse", action="store_true",
                    help="per-demo mug-scale/pole-tilt/clutter diversity (r3 training distribution)")
     p.add_argument("--max-epochs", type=int, default=3000)
@@ -115,7 +117,7 @@ def main(argv=None):
         mk_kwargs["n_distractors"] = args.train_demo_distractors
     demos = make_synthetic_dataset(
         n_demos=args.synthetic_demos, seed=args.seed, diverse=args.diverse,
-        clutter_heavy=args.clutter_heavy, **mk_kwargs
+        clutter_heavy=args.clutter_heavy, family=args.task_family, **mk_kwargs
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -154,7 +156,8 @@ def main(argv=None):
         bundles = [seed_bundle, bundle]  # trained-under-eval model refines
     agent = DiffusionEdfAgent(bundles, preprocess, unprocess)
     eval_sets = {
-        name: make_split_dataset(name, n_demos=args.eval_demos, seed=args.seed + 1000)
+        name: make_split_dataset(name, n_demos=args.eval_demos, seed=args.seed + 1000,
+                                 family=args.task_family)
         for name in args.splits
     }
     curve_path = os.path.join(log_dir, "learning_curve.jsonl")
