@@ -154,7 +154,7 @@ def main():
         ref_out = rollout_module(jax.random.PRNGKey(2), Ts)
         candidates = [
             ("edge_t", False), ("edge", False), ("", True),
-            ("edge_t", True),
+            ("edge_t", True), ("edge_t_bf16", False),
         ]
         best = ("", False)
         for kmode, bf16 in candidates:
@@ -168,7 +168,8 @@ def main():
                 out_c = rc(jax.random.PRNGKey(2), Ts)
                 err = float(jnp.max(jnp.abs(out_c - ref_out)))
                 extra[f"{name}_max_abs_pose_diff"] = round(err, 6)
-                if err < (5e-2 if bf16 else 2e-2):
+                quantized = bf16 or "bf16" in (kmode or "")
+                if err < (5e-2 if quantized else 2e-2):
                     dt_c = _time_rollout(rc, Ts)
                     extra[f"pose_steps_per_s_{name}"] = round(N_SEEDS * N_STEPS / dt_c, 1)
                     eligible[name] = (kmode, rc)

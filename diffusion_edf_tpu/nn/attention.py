@@ -158,7 +158,9 @@ class GraphAttention(nn.Module):
         drop_active = self.alpha_drop > 0.0 and not deterministic
         if self.scene_axis_name is not None:
             fused = None  # collectives live in the module path only
-        if not (fused in ("edge", "edge_t", "edge_interpret", "edge_t_interpret", "edge_xla") and not drop_active):
+        _EDGE_MODES = ("edge", "edge_t", "edge_t_bf16", "edge_interpret",
+                       "edge_t_interpret", "edge_t_bf16_interpret", "edge_xla")
+        if not (fused in _EDGE_MODES and not drop_active):
             # module / legacy-fused paths compute the radial weights in XLA;
             # the edge kernel runs the radial MLP in-kernel instead
             w2 = rad_mod(edge_scalars.reshape(nd * nk, -1))
@@ -174,7 +176,7 @@ class GraphAttention(nn.Module):
                 H, mul_alpha, mul_alpha_head, deterministic,
             )
 
-        if fused in ("edge", "edge_t", "edge_interpret", "edge_t_interpret", "edge_xla") and not drop_active:
+        if fused in _EDGE_MODES and not drop_active:
             # fully-2D fused edge kernel (nn/edge_kernel.py): the whole
             # [DTP1 -> alpha/value linear -> logits -> gate -> DTP2 -> value
             # linear] segment runs per row tile in VMEM; only logits + val
@@ -354,17 +356,24 @@ class GraphAttention(nn.Module):
             # canonical -> i-major: x_im[m] = x_can[im_perm[m]]
             msg2 = jnp.take(msg2, jnp.asarray(im_perm(irreps_input)), axis=-1)
         attr2 = edge_attr.reshape(nd * nk, -1)
-        kmode = {"edge_xla": "xla", "edge_t": "pallas_t", "edge_t_interpret": "pallas_t"}.get(
+        kmode = {"edge_xla": "xla", "edge_t": "pallas_t", "edge_t_interpret": "pallas_t",
+                 "edge_t_bf16": "pallas_t", "edge_t_bf16_interpret": "pallas_t"}.get(
             mode, "pallas"
         )
+        if mode.startswith("edge_t_bf16"):
+            # SELECTIVE mixed precision: quantize only the kernel's wide
+            # per-edge operand; params and the rest of the network stay f32
+            # (edge_kernel_call switches to f32-accumulation mixed mode on a
+            # bf16 message; VERDICT r4 item 4)
+            msg2 = msg2.astype(jnp.bfloat16)
         logits, val = edge_kernel_call(
             plan, msg2, attr2, edge_scalars.reshape(nd * nk, -1), weights,
             mode=kmode,
             interpret=mode.endswith("_interpret"),
             rad=rad,
         )
-        log_alpha = jnp.transpose(logits.reshape(nd, nk, H), (0, 2, 1))
-        return log_alpha, val.reshape(nd, nk, -1)
+        log_alpha = jnp.transpose(logits.reshape(nd, nk, H), (0, 2, 1)).astype(message.dtype)
+        return log_alpha, val.reshape(nd, nk, -1).astype(message.dtype)
 
     def _fused_path(
         self, mode, dtp1, w, message, edge_attr, edge_mask,

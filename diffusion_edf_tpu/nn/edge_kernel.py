@@ -318,57 +318,67 @@ def _radial_fwd_t(spec, xT, arraysT):
 
 
 def _core_t(plan: EdgePlan, x1T, attrT, wT, W_avT, b_avT, DmatT, W2T, b2T,
-            C1T, C2T, RgT, write1, write2):
+            C1T, C2T, RgT, write1, write2, acc_dt=None):
     """Transposed shared math: FEATURES in the sublane dim, ROWS in the lane
     dim — every per-piece FMA then runs at full 128-lane utilization (the
     row-major kernel wastes 50-87% of each vector op on <=64-wide pieces) and
     scratch stores land at width-aligned SUBLANE offsets.  Same algebra as
-    :func:`_core`; all weight operands PRE-transposed at trace time."""
+    :func:`_core`; all weight operands PRE-transposed at trace time.
+
+    ``acc_dt``: mixed-precision accumulation dtype (bf16 mode).  The wide
+    DTP1/value-linear operands stay in ``x1T.dtype`` (bf16 — the HBM/VMEM
+    win), but every matmul accumulates in ``acc_dt`` (f32) and everything
+    after the first matmul — alpha logits, gates, DTP2, value — runs f32, so
+    softmax logits and the attention value keep f32 precision (VERDICT r4
+    item 4: keep radial/cutoff/logit accumulation f32, quantize only the
+    wide matmuls)."""
     from .layers import norm_sigmoid, scalar_silu
 
     dt = x1T.dtype
-    A1T = C1T @ attrT  # (nA1, B)
+    acc = acc_dt or dt
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=acc)  # noqa: E731
+    A1T = (C1T @ attrT).astype(dt)  # (nA1, B)
 
     def pieces1():
         for off, mul1, iks, ws, lane in plan.dtp1.pieces:
-            acc = None
+            a_ = None
             for i, c in iks:
                 xs = x1T[off + i * mul1 : off + (i + 1) * mul1, :]
                 term = xs * A1T[c : c + 1, :]
-                acc = term if acc is None else acc + term
-            if acc is None:
+                a_ = term if a_ is None else a_ + term
+            if a_ is None:
                 piece = jnp.zeros((mul1, x1T.shape[1]), dt)
             else:
-                piece = acc * wT[ws : ws + mul1, :]
+                piece = a_ * wT[ws : ws + mul1, :].astype(dt)
             yield lane, mul1, piece
 
-    Y1T = write1(pieces1())  # (n_lanes1, B)
-    combT = W_avT @ Y1T + b_avT  # (cols, B)
+    Y1T = write1(pieces1())  # (n_lanes1, B) dt
+    combT = mm(W_avT, Y1T) + b_avT  # (cols, B) acc
     ma, sd, gd = plan.mul_alpha, plan.sd, plan.gd
-    la = smooth_leaky_relu(combT[:ma, :]) * jnp.asarray(smooth_leaky_relu_norm(), dt)
-    logitsT = DmatT @ la  # (H, B)
+    la = smooth_leaky_relu(combT[:ma, :]) * jnp.asarray(smooth_leaky_relu_norm(), acc)
+    logitsT = mm(DmatT, la)  # (H, B) acc
     scalars = scalar_silu(combT[ma : ma + sd, :])
     if gd:
         gates = norm_sigmoid(combT[ma + sd : ma + sd + gd, :])
         gated = combT[ma + sd + gd :, :] * (RgT @ gates)
     else:
         gated = combT[ma + sd :, :]
-    A2T = C2T @ attrT
+    A2T = C2T @ attrT  # acc (C2T/attrT stay acc-typed in mixed mode)
 
     def pieces2():
         for off, mul1, iks, _ws, lane in plan.dtp2.pieces:
-            acc = None
+            a_ = None
             for i, c in iks:
                 a = off + i * mul1
                 xs = scalars[a : a + mul1, :] if a + mul1 <= sd else gated[a - sd : a - sd + mul1, :]
-                term = xs * A2T[c : c + 1, :]
-                acc = term if acc is None else acc + term
-            if acc is None:
-                acc = jnp.zeros((mul1, x1T.shape[1]), dt)
-            yield lane, mul1, acc
+                term = xs * A2T[c : c + 1, :].astype(xs.dtype)
+                a_ = term if a_ is None else a_ + term
+            if a_ is None:
+                a_ = jnp.zeros((mul1, x1T.shape[1]), acc)
+            yield lane, mul1, a_
 
     Y2T = write2(pieces2())
-    valT = W2T @ Y2T + b2T  # (attn_dim, B)
+    valT = mm(W2T, Y2T) + b2T  # (attn_dim, B) acc
     return logitsT, valT
 
 
@@ -489,12 +499,34 @@ def _call_transposed(
 ):
     """'pallas_t' dispatch: rows in the LANE dim.  Inputs/outputs are
     transposed in XLA around the kernel (one cheap relayout each, ~0.5 ms at
-    0.5M rows — far below the full-lane-utilization win inside)."""
+    0.5M rows — far below the full-lane-utilization win inside).
+
+    bf16 inputs select MIXED precision: the wide per-edge arrays (message
+    lanes, DTP1 scratch, W_av operand, value output) are bf16 — halving
+    their HBM/VMEM traffic and running the big matmul at the MXU bf16 rate —
+    while the radial MLP, softmax logits, gates and DTP2/value accumulation
+    stay f32 (``_core_t`` ``acc_dt``).  Logits are returned f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    mixed = dt == jnp.bfloat16
+    f32 = jnp.float32
+    acc_dt = f32 if mixed else None
+    out_dt = f32 if mixed else dt  # logits dtype (softmax precision)
+
     W_av, b_av, Dmat, W2, b2 = weights
     C1, C2, Rg = consts
+    if mixed:
+        # bf16: only x1 and the W_av matmul operand; everything narrow f32.
+        # Constants are REBUILT from the plan's float64 numpy arrays — the
+        # caller-made consts were already rounded to x1's bf16.
+        W_av = W_av.astype(jnp.bfloat16)
+        b_av, Dmat, W2, b2 = (a.astype(f32) for a in (b_av, Dmat, W2, b2))
+        C1 = jnp.asarray(plan.dtp1.C_all, f32)
+        C2 = jnp.asarray(plan.dtp2.C_all, f32)
+        Rg = jnp.asarray(plan.R_gate_im, f32)
+        attr, w_rad = attr.astype(f32), w_rad.astype(f32)
+        rad_arrays = [a.astype(f32) for a in rad_arrays]
     warrsT = [W_av.T, b_av.T, Dmat.T, W2.T, b2.T, C1.T, C2.T, Rg.T] + [
         a.T for a in rad_arrays
     ]
@@ -522,10 +554,10 @@ def _call_transposed(
             plan, x1_ref[:], attr_ref[:], wTv,
             WavT_ref[:], bavT_ref[:], DT_ref[:], W2T_ref[:], b2T_ref[:],
             C1T_ref[:], C2T_ref[:], RgT_ref[:],
-            write1=store1, write2=store2,
+            write1=store1, write2=store2, acc_dt=acc_dt,
         )
-        logits_ref[:] = logitsT
-        val_ref[:] = valT
+        logits_ref[:] = logitsT.astype(logits_ref.dtype)
+        val_ref[:] = valT.astype(val_ref.dtype)
 
     def col_spec(height):
         return pl.BlockSpec((height, B), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -536,7 +568,7 @@ def _call_transposed(
     logitsT, valT = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((plan.H, Rp), dt),
+            jax.ShapeDtypeStruct((plan.H, Rp), out_dt),
             jax.ShapeDtypeStruct((plan.attn_dim, Rp), dt),
         ),
         grid=(Rp // B,),
@@ -545,7 +577,7 @@ def _call_transposed(
         out_specs=(col_spec(plan.H), col_spec(plan.attn_dim)),
         scratch_shapes=[
             pltpu.VMEM((plan.dtp1.n_lanes, B), dt),
-            pltpu.VMEM((plan.dtp2.n_lanes, B), dt),
+            pltpu.VMEM((plan.dtp2.n_lanes, B), acc_dt or dt),
         ],
         interpret=interpret,
     )(x1T, attrT, wT, *warrsT)

@@ -26,7 +26,9 @@ def normalize2mom_const(fn: Callable[[np.ndarray], np.ndarray]) -> float:
     """
     x, w = _gauss_hermite()
     second = float(np.sum(w * fn(x) ** 2))
-    return 1.0 / np.sqrt(second)
+    # python float (WEAK jax type): a np.float64 here silently promotes
+    # bf16 activations to f32 (the r4 ``edge_t_bf16`` store-dtype crash)
+    return float(1.0 / np.sqrt(second))
 
 
 def _np_silu(x: np.ndarray) -> np.ndarray:
