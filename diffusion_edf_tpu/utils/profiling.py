@@ -21,6 +21,16 @@ __all__ = ["setup_compilation_cache", "trace"]
 
 
 def setup_compilation_cache(cache_dir: str = "~/.cache/diffusion_edf_tpu_xla") -> str:
+    # Kill switch (file or env): on the axon remote-compile backend, LOADING
+    # a persisted executable can wedge the single-tenant service for ~25 min
+    # (observed r5: every cached-program process blocked after ~40 s of
+    # tracing; fresh compiles with the cache dir removed went straight
+    # through).  A file flag works even for already-running job drivers.
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.environ.get("DIFFUSION_EDF_TPU_NO_CACHE") or os.path.exists(
+        os.path.join(here, ".no_xla_cache")
+    ):
+        return ""
     cache_dir = os.path.expanduser(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
