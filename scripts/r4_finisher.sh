@@ -8,10 +8,15 @@
 set -u
 cd /root/repo
 LOG=runs/r4_finisher.log
+mkdir -p runs  # ADVICE r4: exec would die if runs/ was cleared
 exec >> "$LOG" 2>&1
 echo "=== finisher start $(date) ==="
 
-while pgrep -f "r4_session_final_retry.sh" > /dev/null 2>&1; do sleep 30; done
+# ADVICE r4: pgrep polling was an ordering race (starting first made the
+# wait a no-op and both scripts could train concurrently). flock serializes
+# regardless of start order.
+exec 9>/tmp/r4_tpu_job.lock
+flock 9
 echo "retry supervisor done $(date)"
 
 run() {

@@ -7,6 +7,7 @@
 set -u
 cd /root/repo
 LOG=runs/r4_sapien_probe.log
+mkdir -p runs  # ADVICE r4: exec would die if runs/ was cleared
 exec >> "$LOG" 2>&1
 echo "=== sapien probe start $(date) ==="
 

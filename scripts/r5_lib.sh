@@ -1,0 +1,53 @@
+#!/bin/bash
+# Shared r5 queue harness: TPU health probe + stall-watchdog job runner.
+#
+# The axon remote-compile backend wedges nondeterministically mid-run (all
+# client threads in futex wait, concurrent probes hang; recovers only after
+# the client dies and the service idles).  A per-job timeout alone wastes the
+# whole budget on a wedge, so run_wd() additionally kills a job whose console
+# log goes silent for STALL_S seconds and retries.  Jobs must print
+# regularly (training prints every <=25 epochs; evals per split); first
+# compiles are silent, so STALL_S must exceed the worst-case compile
+# (~12 min observed for the whole-epoch train scan).
+
+probe() {
+  for i in $(seq 1 30); do
+    if timeout 120 python -c "import jax, jax.numpy as jnp; (jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready()" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "tpu probe $i failed $(date)"; sleep 60
+  done
+  echo "TPU UNREACHABLE, giving up $(date)"; return 1
+}
+
+STALL_S=${STALL_S:-900}
+
+run_wd() {  # run_wd <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  for attempt in 1 2 3; do
+    probe || return 1
+    echo "--- [$name] attempt $attempt start $(date) ---"
+    local log="runs/${name}_console.log"
+    setsid timeout "$tmo" "$@" > "$log" 2>&1 &
+    local pid=$!
+    local rc=""
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 30
+      local age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+      if [ "$age" -gt "$STALL_S" ]; then
+        echo "[$name] console silent ${age}s — killing pgid $pid $(date)"
+        kill -- -"$pid" 2>/dev/null; sleep 5
+        kill -9 -- -"$pid" 2>/dev/null
+        rc=stalled
+        break
+      fi
+    done
+    if [ -z "$rc" ]; then
+      wait "$pid"; rc=$?
+    fi
+    echo "rc=$rc" >> "$log"
+    echo "--- [$name] attempt $attempt rc=$rc $(date) ---"
+    [ "$rc" = "0" ] && return 0
+  done
+  return 1
+}

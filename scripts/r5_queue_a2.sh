@@ -1,0 +1,84 @@
+#!/bin/bash
+# Round-5 TPU queue, stage A2 (restart of r5_queue_a.sh past the sweep, with
+# the stall watchdog — see scripts/r5_lib.sh).  Pick-side capability push.
+set -u
+cd /root/repo
+mkdir -p runs reports
+. scripts/r5_lib.sh
+LOG=runs/r5_queue_a2.log
+exec >> "$LOG" 2>&1
+echo "=== r5 queue A2 start $(date) ==="
+
+# 1. pick_lowres fine-tune (see r5_queue_a.sh job 1; horizon trimmed to fit
+#    the wedge-prone backend: 300 epochs x 80 demos = 2.4x the r4 sample count)
+run_wd pick_lr_r5 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --task-type pick --synthetic-demos 80 --diverse --clutter-heavy \
+  --init-params-npz checkpoints/panda_mug/pick_lowres.npz \
+  --lr 1e-4 --max-epochs 300 --eval-every 100 --eval-demos 4 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name pick_lr_r5 \
+  --export-best checkpoints/panda_mug/pick_lowres_r5.npz
+
+if [ -f checkpoints/panda_mug/pick_lowres_r5.npz ]; then
+  cp checkpoints/panda_mug/pick_lowres.npz checkpoints/panda_mug/pick_lowres_r4_backup.npz
+  mv checkpoints/panda_mug/pick_lowres_r5.npz checkpoints/panda_mug/pick_lowres.npz
+fi
+
+# 2. pick_highres fine-tune, cascade-seeded eval on the (possibly new) lowres
+run_wd pick_hr_r5 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --task-type pick --synthetic-demos 80 --diverse --clutter-heavy \
+  --init-params-npz checkpoints/panda_mug/pick_highres.npz \
+  --lr 1e-4 --max-epochs 300 --eval-every 100 --eval-demos 4 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --seed-stage-configs diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --seed-stage-checkpoint checkpoints/panda_mug/pick_lowres.npz \
+  --log-name pick_hr_r5 \
+  --export-best checkpoints/panda_mug/pick_highres_r5.npz
+
+if [ -f checkpoints/panda_mug/pick_highres_r5.npz ]; then
+  cp checkpoints/panda_mug/pick_highres.npz checkpoints/panda_mug/pick_highres_r4_backup.npz
+  mv checkpoints/panda_mug/pick_highres_r5.npz checkpoints/panda_mug/pick_highres.npz
+fi
+
+# 3. cascade-sample dumps from the FINAL pick models + winner schedule
+run_wd dump_pick_train 2400 python tools/gen_cascade_samples.py --task-type pick \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --n-demos 30 --n-seeds 24 --demo-seed 0 \
+  --out runs/cascade_samples_pick_train.npz
+
+run_wd dump_pick_eval 2400 python tools/gen_cascade_samples.py --task-type pick \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --n-demos 20 --n-seeds 24 --demo-seed 500 \
+  --out runs/cascade_samples_pick_eval.npz
+
+# 4. critic fine-tune on the real samples (pick)
+run_wd critic_pick_r5 3600 python tools/train_critic_cascade.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --init-params-npz checkpoints/panda_mug/pick_ebm.npz \
+  --train-dump runs/cascade_samples_pick_train.npz \
+  --eval-dump runs/cascade_samples_pick_eval.npz \
+  --max-epochs 250 --eval-every 25 \
+  --export-best checkpoints/panda_mug/pick_ebm_cascade.npz \
+  --out reports/critic_cascade_pick.json
+
+# 5. final pick cascade eval: 4 splits x 30 demos, winner schedule + new critic
+run_wd eval_pick_cascade_r5 7200 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --checkpoint-dir checkpoints/panda_mug/pick_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/pick_ebm_cascade.npz \
+  --schedule-json reports/schedule_sweep_pick_r2.json \
+  --task-type pick --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_pick_cascade.json
+
+echo "=== r5 queue A2 done $(date) ==="

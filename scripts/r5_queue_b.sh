@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-5 TPU queue, stage B: place-side critic (VERDICT r4 item 1's larger
+# half: place best-of-10 is 0.97 vs 0.60 executed), bf16 bench validation,
+# sapien convergence attempt, bowl family if the clock allows.
+set -u
+cd /root/repo
+mkdir -p runs reports
+LOG=runs/r5_queue_b.log
+exec >> "$LOG" 2>&1
+echo "=== r5 queue B start $(date) ==="
+
+. scripts/r5_lib.sh
+
+# 1. mini place schedule check: reference vs the pick winner family
+#    (place medians are 0.83 cm — the low-floor anneal should transfer, but
+#    verify before switching the final eval's schedule)
+run_wd sweep_place 2700 python tools/sweep_schedule.py --task-type place \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  --round2 --n-demos 6 --n-seeds 10 --splits default \
+  --out reports/schedule_sweep_place.json
+
+# 2. place cascade dumps (schedule: place sweep winner if it landed)
+SCHED_PLACE=""
+[ -f reports/schedule_sweep_place.json ] && SCHED_PLACE="--schedule-json reports/schedule_sweep_place.json"
+run_wd dump_place_train 3600 python tools/gen_cascade_samples.py --task-type place \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  $SCHED_PLACE \
+  --n-demos 30 --n-seeds 24 --demo-seed 0 \
+  --out runs/cascade_samples_place_train.npz
+
+run_wd dump_place_eval 3600 python tools/gen_cascade_samples.py --task-type place \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  $SCHED_PLACE \
+  --n-demos 20 --n-seeds 24 --demo-seed 500 \
+  --out runs/cascade_samples_place_eval.npz
+
+# 3. critic fine-tune on real place samples
+run_wd critic_place_r5 4200 python tools/train_critic_cascade.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
+  --init-params-npz checkpoints/panda_mug/place_ebm.npz \
+  --train-dump runs/cascade_samples_place_train.npz \
+  --eval-dump runs/cascade_samples_place_eval.npz \
+  --max-epochs 250 --eval-every 25 \
+  --export-best checkpoints/panda_mug/place_ebm_cascade.npz \
+  --out reports/critic_cascade_place.json
+
+# 4. final place cascade eval: 4 splits x 30 demos + new critic
+run_wd eval_place_cascade_r5 7200 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_lowres \
+  --checkpoint-dir checkpoints/panda_mug/place_lowres.npz \
+  --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_highres \
+  --cascade-checkpoint-dir checkpoints/panda_mug/place_highres.npz \
+  --critic-configs-root-dir diffusion_edf_tpu/configs/panda_mug/place_ebm \
+  --critic-checkpoint-dir checkpoints/panda_mug/place_ebm_cascade.npz \
+  $SCHED_PLACE \
+  --task-type place --synthetic-demos 30 --n-seeds 10 --splits \
+  --out reports/eval_place_cascade.json
+
+# 5. bench: validates the bf16 kernel gates + latency on-device
+run_wd bench_r5 4500 python bench.py
+
+echo "=== r5 queue B done $(date) ==="

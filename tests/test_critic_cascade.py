@@ -1,0 +1,108 @@
+"""End-to-end smoke of the cascade-critic fine-tune tool (tiny model).
+
+The real tool runs on full-width checkpoints on TPU
+(``scripts/r5_queue_a.sh``); this test drives the identical code path —
+dump loading, rank-pool assembly, jitted epoch scan, held-out executed-
+success model selection, noise-floor probe, npz export — on a tiny EBM
+config with a FABRICATED dump (random samples with known errors), so CPU
+compile stays in test budget."""
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from tests.test_train import TASK_CFG, TINY_MODEL, TRAIN_CFG
+
+
+@pytest.fixture(scope="module")
+def ebm_cfg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ebm_cfg")
+    model = yaml.safe_load(yaml.safe_dump(TINY_MODEL))
+    model["model_kwargs"]["score_head_kwargs"]["ebm"] = True
+    model["model_kwargs"]["score_head_kwargs"]["edge_time_encoding"] = False
+    model["model_kwargs"]["score_head_kwargs"]["query_time_encoding"] = False
+    train_cfg = dict(TRAIN_CFG)
+    train_cfg["critic_rank_configs"] = dict(weight=1.0, n_negatives=4)
+    with open(d / "train_configs.yaml", "w") as f:
+        yaml.safe_dump(train_cfg, f)
+    with open(d / "task_configs.yaml", "w") as f:
+        yaml.safe_dump(TASK_CFG, f)
+    with open(d / "score_model_configs.yaml", "w") as f:
+        yaml.safe_dump(model, f)
+    return str(d)
+
+
+def _fake_dump(path, rng, n_demos=2, n_samples=6, n_scene=256, n_grasp=96):
+    def cloud(n):
+        x = rng.normal(size=(n_demos, n, 3)).astype(np.float32) * 5.0
+        f = rng.uniform(size=(n_demos, n, 3)).astype(np.float32)
+        m = np.ones((n_demos, n), bool)
+        m[:, int(n * 0.8):] = False
+        return x, f, m
+
+    sx, sf, sm = cloud(n_scene)
+    gx, gf, gm = cloud(n_grasp)
+    q = rng.normal(size=(n_demos, n_samples, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(n_demos, n_samples, 3)) * 3.0
+    samples = np.concatenate([q, t], -1).astype(np.float32)
+    target = np.concatenate(
+        [np.tile([[1.0, 0, 0, 0]], (n_demos, 1)), np.zeros((n_demos, 3))], -1
+    ).astype(np.float32)
+    np.savez(
+        path,
+        scene_x=sx, scene_f=sf, scene_mask=sm,
+        grasp_x=gx, grasp_f=gf, grasp_mask=gm,
+        samples=samples,
+        trans_err=rng.uniform(0.1, 8.0, (n_demos, n_samples)).astype(np.float32),
+        rot_err_deg=rng.uniform(0.5, 40.0, (n_demos, n_samples)).astype(np.float32),
+        target=target,
+        names=np.asarray([f"fake_{i}" for i in range(n_demos)]),
+    )
+
+
+def test_critic_cascade_tool_end_to_end(ebm_cfg_dir, tmp_path):
+    import train_critic_cascade as tcc
+
+    rng = np.random.default_rng(0)
+    train_dump = str(tmp_path / "train.npz")
+    eval_dump = str(tmp_path / "eval.npz")
+    _fake_dump(train_dump, rng)
+    _fake_dump(eval_dump, rng)
+    out = str(tmp_path / "report.json")
+    export = str(tmp_path / "critic.npz")
+    tcc.main([
+        "--configs-root-dir", ebm_cfg_dir,
+        "--train-dump", train_dump, "--eval-dump", eval_dump,
+        "--max-epochs", "2", "--eval-every", "1", "--fan-negatives", "4",
+        "--export-best", export, "--out", out,
+    ])
+    with open(out) as f:
+        rep = json.load(f)
+    assert rep["epochs"] and "executed_success" in rep["epochs"][0]
+    assert "noise_floor" in rep and "gap_over_noise" in (rep["noise_floor"] or {"gap_over_noise": 0})
+    assert rep["best"]["epoch"] >= 0
+    assert os.path.exists(export)
+    with np.load(export) as z:
+        assert any(k for k in z.files if not k.startswith("__"))
+
+
+def test_noise_floor_probe_separates_signal():
+    import train_critic_cascade as tcc
+
+    rng = np.random.default_rng(1)
+    # energies perfectly ordered by badness -> huge gap/noise ratio
+    b = [rng.uniform(0, 10, 40) for _ in range(3)]
+    e_good = [bb + rng.normal(0, 1e-3, 40) for bb in b]
+    probe = tcc.noise_floor_probe(e_good, b)
+    assert probe["gap_over_noise"] > 10
+    # pure-noise energies -> ratio near zero
+    e_noise = [rng.normal(0, 1.0, 40) for _ in b]
+    probe2 = tcc.noise_floor_probe(e_noise, b)
+    assert abs(probe2["gap_over_noise"]) < 5

@@ -57,17 +57,19 @@ def noise_floor_probe(energies, badness, n_deciles: int = 10):
     demo, so offsets between demos are irrelevant)."""
     stds, means = [], []
     for e, b in zip(energies, badness):
+        e, b = np.asarray(e, np.float64), np.asarray(b, np.float64)
         if e.std() == 0:
             continue
         e = (e - e.mean()) / e.std()
         order = np.argsort(b)
-        bins = np.array_split(order, n_deciles)
+        bins = np.array_split(order, min(n_deciles, len(e)))
         means.append([float(e[ix].mean()) for ix in bins if len(ix)])
         stds.append([float(e[ix].std()) for ix in bins if len(ix)])
     if not means:
         return {}
-    mean_curve = np.mean([m for m in means if len(m) == n_deciles], axis=0)
-    within_std = float(np.mean([s for s in stds if len(s) == n_deciles]))
+    k = min(len(m) for m in means)
+    mean_curve = np.mean([m[:k] for m in means], axis=0)
+    within_std = float(np.mean([s[:k] for s in stds]))
     gap = float(mean_curve[-1] - mean_curve[0])  # worst decile - best decile
     return {
         "decile_energy_mean_curve": [round(float(x), 3) for x in mean_curve],
