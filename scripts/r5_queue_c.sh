@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-5 TPU queue, stage C (stretch): sapien convergence (VERDICT r4 item
+# 3), bowl family first training artifacts (item 7), small-batch hot-path
+# profile (item 6 diagnosis).
+set -u
+cd /root/repo
+mkdir -p runs reports
+. scripts/r5_lib.sh
+LOG=runs/r5_queue_c.log
+exec >> "$LOG" 2>&1
+echo "=== r5 queue C start $(date) ==="
+
+# 1. sapien PointAttentiveScoreModel: the r4 finding is 5-10x slower
+#    convergence at full width (conditioning, not code).  Attack: 3.3x LR
+#    with grad clip + cosine floor + EMA over a 2x horizon, warm-started
+#    from the r4 partial (loss was still descending when it stopped).
+run_wd sapien_pick_r5 5400 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --task-type pick --synthetic-demos 30 --diverse \
+  --init-params-npz checkpoints/sapien/pick_lowres.npz \
+  --lr 1e-3 --max-epochs 1600 --eval-every 400 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.05 --ema-decay 0.999 \
+  --log-name sapien_pick_r5 \
+  --export-best checkpoints/sapien/pick_lowres_r5.npz
+
+if [ -f checkpoints/sapien/pick_lowres_r5.npz ]; then
+  cp checkpoints/sapien/pick_lowres.npz checkpoints/sapien/pick_lowres_r4_backup.npz
+  mv checkpoints/sapien/pick_lowres_r5.npz checkpoints/sapien/pick_lowres.npz
+fi
+
+run_wd eval_sapien_pick 2700 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/sapien/pick_lowres_synth \
+  --checkpoint-dir checkpoints/sapien/pick_lowres.npz \
+  --task-type pick --synthetic-demos 10 --n-seeds 10 --splits default unseen_poses \
+  --out reports/eval_sapien_pick.json
+
+# 2. bowl family: first trained artifact (pick_lowres) + 4-split eval
+run_wd bowl_pick_lr 5400 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/pick_lowres \
+  --task-type pick --task-family bowl --synthetic-demos 30 --diverse \
+  --max-epochs 1200 --eval-every 300 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name bowl_pick_lr \
+  --export-best checkpoints/panda_bowl/pick_lowres.npz
+
+[ -f checkpoints/panda_bowl/pick_lowres.npz ] && run_wd eval_bowl_pick 2700 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/pick_lowres \
+  --checkpoint-dir checkpoints/panda_bowl/pick_lowres.npz \
+  --task-type pick --task-family bowl --synthetic-demos 10 --n-seeds 10 --splits \
+  --out reports/eval_bowl_pick.json
+
+# 3. small-batch hot-path decomposition (serving-latency diagnosis)
+run_wd hotpath_r5 2400 python tools/diag_hotpath.py
+
+echo "=== r5 queue C done $(date) ==="
