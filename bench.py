@@ -121,6 +121,13 @@ def _seed_batch(n):
     return jnp.concatenate([q, x], -1)
 
 
+def _progress(msg):
+    # stderr heartbeat: bench stdout must stay a single JSON line, but the
+    # r5 queue watchdog kills jobs whose console is silent >15 min and a
+    # full bench legitimately compiles for longer
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from diffusion_edf_tpu.train.factory import build_score_model
     import __graft_entry__ as ge
@@ -134,6 +141,7 @@ def main():
     scene, Ts, _ = ge._fake_inputs(jax.random.PRNGKey(0), n_scene=N_SCENE, n_poses=N_SEEDS)
     time0 = jnp.full((Ts.shape[0],), 0.5)
     params = jax.jit(model.init)(jax.random.PRNGKey(1), Ts, scene, scene, time0)
+    _progress("building module rollout")
     rollout, _ = _build_rollout(model, params, scene, scene, N_STEPS)
     rollout_module = rollout  # kept for XLA cost analysis (algorithmic FLOPs)
     dt = _time_rollout(rollout, Ts)
@@ -159,6 +167,7 @@ def main():
         best = ("", False)
         for kmode, bf16 in candidates:
             name = (kmode or "module") + ("_bf16" if bf16 else "")
+            _progress(f"candidate {name}")
             try:
                 if kmode:
                     os.environ["DIFFUSION_EDF_TPU_FUSED"] = kmode
@@ -216,6 +225,7 @@ def main():
             eligible = {k: v for k, v in eligible.items() if k == "module" or k in keep}
         by_variant = {}
         for name, (envv, ro) in eligible.items():
+            _progress(f"seed curve: {name}")
             if envv:
                 os.environ["DIFFUSION_EDF_TPU_FUSED"] = envv
             else:
@@ -245,6 +255,7 @@ def main():
 
     # ---------------- p50 single-request latency ----------------
     # a serving-shaped request: 20 seeds, 100-step schedule, warm cache
+    _progress("latency")
     lat = []
     Ts20 = _seed_batch(20)
     rollout(jax.random.PRNGKey(2), Ts20).block_until_ready()
@@ -263,6 +274,7 @@ def main():
             "diffusion_edf_tpu", "configs", "panda_mug", "place_lowres",
         )
         _, _, mcfg = load_configs(place_dir)
+        _progress("place-config bench")
         place_model = build_score_model(mcfg["model_name"], mcfg["model_kwargs"])
         p_scene, p_Ts, _ = ge._fake_inputs(jax.random.PRNGKey(4), n_scene=N_SCENE, n_poses=N_SEEDS)
         p_grasp, _, _ = ge._fake_inputs(jax.random.PRNGKey(5), n_scene=512, n_poses=2)
