@@ -166,7 +166,12 @@ def main():
         ]
         best = ("", False)
         for kmode, bf16 in candidates:
+            # ("edge_t", True) = wholesale bf16 params through the kernel;
+            # ("edge_t_bf16", False) = selective in-kernel quantization with
+            # f32 params — distinct names so reports don't collide
             name = (kmode or "module") + ("_bf16" if bf16 else "")
+            if kmode == "edge_t_bf16":
+                name = "edge_t_sel_bf16"
             _progress(f"candidate {name}")
             try:
                 if kmode:
