@@ -1,0 +1,123 @@
+"""Per-module gradient-health probe: sapien PointAttentive vs panda Multiscale.
+
+VERDICT r4 weak #6 / item 3: the sapien ``PointAttentiveScoreModel`` at full
+width never learns score alignment on the synthetic task (align_ang ~ 0 after
+thousands of steps at lr x1..x3.3), while tiny-width probes and the panda
+``MultiscaleScoreModel`` train normally.  This tool takes ONE DSM train-step
+gradient at full width for both models on the same demo and reports, per
+top-level param subtree, ``|grad| / |param|`` — a starved (or exploding)
+subtree shows up as an outlier ratio vs the healthy model's profile.
+
+Run (CPU is fine, ~10 min compile):
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/diag_sapien_grads.py \
+        --out reports/sapien_grad_probe.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grad_profile(configs_root_dir: str, demo, depth: int = 3):
+    from diffusion_edf_tpu.diffusion.diffuse import biequiv_diffusion, random_time
+    from diffusion_edf_tpu.models.score_model import train_loss
+    from diffusion_edf_tpu.train.data import compose_proc_fn, pad_pointcloud
+    from diffusion_edf_tpu.train.factory import build_score_model
+    from diffusion_edf_tpu.train.trainer import load_configs
+
+    train_cfg, task_cfg, model_cfg = load_configs(configs_root_dir)
+    model = build_score_model(
+        model_cfg["model_name"], model_cfg["model_kwargs"], deterministic_fps=True
+    )
+    sh = model_cfg["model_kwargs"]["score_head_kwargs"]
+    ang_mult, lin_mult = float(sh["ang_mult"]), float(sh["lin_mult"])
+    contact_radius = float(task_cfg["contact_radius"]) * float(
+        train_cfg.get("rescale_factor", 1.0)
+    )
+    proc = compose_proc_fn([
+        dict(name="downsample", kwargs=dict(voxel_size=0.01, coord_reduction="average")),
+        dict(name="rescale", kwargs=dict(rescale_factor=100.0)),
+    ])
+    d = proc(demo)
+    scene = pad_pointcloud(d.scene_pcd, 2048)
+    grasp = pad_pointcloud(d.grasp_pcd, 512)
+    T = jnp.asarray(d.target_poses[:1])
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(key, T, scene, grasp, jnp.full((1,), 0.5))
+
+    def loss_fn(p, key):
+        kt, kd = jax.random.split(key)
+        t = random_time(kt, 0.01, 1.0)
+        Ts, _, t_in, (ga, gl), _ = biequiv_diffusion(
+            kd, T, t, scene, grasp, ang_mult=ang_mult, lin_mult=lin_mult,
+            n_samples_x_ref=8, contact_radius=contact_radius,
+        )
+        ang, lin = model.apply(p, Ts, scene, grasp, t_in)
+        loss, stats = train_loss(ang, lin, ga, gl, t_in, ang_mult, lin_mult)
+        return loss, stats
+
+    g_fn = jax.jit(jax.grad(lambda p, k: loss_fn(p, k)[0]))
+    # average gradients over a few noise draws so one lucky draw can't hide
+    # a starved path
+    grads = None
+    for i in range(4):
+        g = g_fn(params, jax.random.PRNGKey(100 + i))
+        grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
+
+    prof = defaultdict(lambda: [0.0, 0.0, 0])
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    gflat, _ = jax.tree_util.tree_flatten_with_path(grads)
+    for (kp, p), (_, g) in zip(flat, gflat):
+        name = "/".join(x.key for x in kp[:depth] if hasattr(x, "key"))
+        e = prof[name]
+        e[0] += float(jnp.sum(g.astype(jnp.float32) ** 2))
+        e[1] += float(jnp.sum(p.astype(jnp.float32) ** 2))
+        e[2] += int(np.prod(p.shape))
+    out = {}
+    for name, (g2, p2, n) in sorted(prof.items()):
+        gn, pn = np.sqrt(g2) / 4.0, np.sqrt(p2)
+        out[name] = dict(
+            grad_norm=round(float(gn), 6), param_norm=round(float(pn), 4),
+            ratio=round(float(gn / max(pn, 1e-9)), 8), n_params=n,
+        )
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sapien-configs", default="diffusion_edf_tpu/configs/sapien/pick_lowres_synth")
+    ap.add_argument("--panda-configs", default="diffusion_edf_tpu/configs/panda_mug/pick_lowres")
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    from diffusion_edf_tpu.train.synthetic import make_synthetic_demo
+
+    demo = make_synthetic_demo(0)[0]
+    report = {}
+    for name, cfg in (("panda_multiscale", args.panda_configs),
+                      ("sapien_point_attentive", args.sapien_configs)):
+        print(f"=== {name} ({cfg}) ===", flush=True)
+        prof = grad_profile(cfg, demo, depth=args.depth)
+        report[name] = prof
+        for k, v in prof.items():
+            print(f"  {k:55s} ratio {v['ratio']:.2e}  |g| {v['grad_norm']:.4g}  "
+                  f"|p| {v['param_norm']:.4g}  ({v['n_params']})", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
