@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-5 TPU queue, stage D (final stretch): bowl place artifact (variant
+# matrix breadth) + a balanced-draw distractors fine-tune for pick.
+set -u
+cd /root/repo
+mkdir -p runs reports
+. scripts/r5_lib.sh
+LOG=runs/r5_queue_d.log
+exec >> "$LOG" 2>&1
+echo "=== r5 queue D start $(date) ==="
+
+# 1. bowl place_lowres: completes the second family's pick+place pair
+run_wd bowl_place_lr 5400 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/place_lowres \
+  --task-type place --task-family bowl --synthetic-demos 30 --diverse \
+  --max-epochs 1200 --eval-every 300 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name bowl_place_lr \
+  --export-best checkpoints/panda_bowl/place_lowres.npz
+
+[ -f checkpoints/panda_bowl/place_lowres.npz ] && run_wd eval_bowl_place 2700 python -m diffusion_edf_tpu.eval \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/place_lowres \
+  --checkpoint-dir checkpoints/panda_bowl/place_lowres.npz \
+  --task-type place --task-family bowl --synthetic-demos 10 --n-seeds 10 --splits \
+  --out reports/eval_bowl_place.json
+
+# 2. pick_lowres distractors attack #2: BALANCED draw (keeps clean demos,
+#    unlike the r5a clutter-heavy draw) from the current best artifact at
+#    low LR; select on mean(default, distractors) as usual.
+run_wd pick_lr_r5b 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+  --task-type pick --synthetic-demos 80 --diverse \
+  --init-params-npz checkpoints/panda_mug/pick_lowres.npz \
+  --lr 5e-5 --max-epochs 200 --eval-every 50 --eval-demos 4 --n-seeds 10 \
+  --splits default distractors \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name pick_lr_r5b \
+  --export-best checkpoints/panda_mug/pick_lowres_r5b.npz
+
+# adopt only if the 4-split eval actually improves: evaluate the candidate
+# pair on default+distractors (10 demos) before replacing the artifact
+if [ -f checkpoints/panda_mug/pick_lowres_r5b.npz ]; then
+  run_wd eval_pick_r5b 4200 python -m diffusion_edf_tpu.eval \
+    --configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_lowres \
+    --checkpoint-dir checkpoints/panda_mug/pick_lowres_r5b.npz \
+    --cascade-configs-root-dir diffusion_edf_tpu/configs/panda_mug/pick_highres \
+    --cascade-checkpoint-dir checkpoints/panda_mug/pick_highres.npz \
+    --schedule-json reports/schedule_sweep_pick_r2.json \
+    --task-type pick --synthetic-demos 15 --n-seeds 10 --splits default distractors \
+    --out reports/eval_pick_r5b_candidate.json
+fi
+
+echo "=== r5 queue D done $(date) ==="
