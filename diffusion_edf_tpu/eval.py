@@ -255,7 +255,7 @@ def main(argv=None):
     p.add_argument("--configs-root-dir", required=True)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
-    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"],
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl", "bottle"],
                    help="synthetic task geometry (train/synthetic.py FAMILIES)")
     p.add_argument("--n-seeds", type=int, default=10)
     p.add_argument("--synthetic-demos", type=int, default=5)

@@ -431,7 +431,152 @@ def make_bowl_demo(
     return DemoSequence(steps=[pick, place])
 
 
-FAMILIES = {"mug": make_synthetic_demo, "bowl": make_bowl_demo}
+def _bottle(rng, n, color, shape_scale: float = 1.0):
+    """Bottle-like object in its own frame: body cylinder + narrower neck +
+    bright cap + a label stripe on the body (+x azimuth).  A bottle is a body
+    of revolution; the label breaks the yaw symmetry so the recorded pick
+    grasp azimuth is unambiguous (like the mug handle / bowl rim marker).
+    The PLACE task keeps the physical z-orbit symmetry — a bottle stands on
+    the shelf spot at any yaw."""
+    body_r = 0.025 * shape_scale
+    body_h = 0.11 * (2.0 - shape_scale)
+    neck_h = 0.035
+    n_body = int(n * 0.55)
+    n_neck = int(n * 0.18)
+    n_cap = int(n * 0.08)
+    n_label = n - n_body - n_neck - n_cap
+    body, cb = _cylinder(rng, [0, 0, body_h / 2], [0, 0, 1], body_r, body_h, n_body, color)
+    neck, cn = _cylinder(
+        rng, [0, 0, body_h + neck_h / 2], [0, 0, 1], 0.011, neck_h, n_neck, color
+    )
+    cap, cc = _cylinder(
+        rng, [0, 0, body_h + neck_h + 0.005], [0, 0, 1], 0.013, 0.01, n_cap, [0.9, 0.15, 0.1]
+    )
+    label, cl = _cylinder(
+        rng, [body_r, 0, body_h * 0.55], [0, 0, 1], 0.004, 0.04, n_label, [0.95, 0.9, 0.1]
+    )
+    return (
+        np.concatenate([body, neck, cap, label]),
+        np.concatenate([cb, cn, cc, cl]),
+    )
+
+
+def make_bottle_demo(
+    seed: int,
+    n_scene: int = 2800,
+    n_grasp: int = 700,
+    pose_shift: bool = False,
+    n_distractors: int = 0,
+    shape_scale: float = 1.0,
+    tilt: Optional[float] = None,  # unused (no pole); kept for split parity
+) -> DemoSequence:
+    """Third task family: "bottle on shelf" (reference analog:
+    ``demo/panda_bottle_on_shelf`` / ``evaluate_real_bottle.ipynb``).
+
+    * pick:  scene = table + shelf + bottle standing on the table; target =
+      top-down neck grasp, fingers straddling the neck at the label azimuth
+      (the demo's recorded grasp).
+    * place: scene = table + shelf; grasp = gripper + bottle in hand; target =
+      bottle standing on the shelf spot, any yaw (z-orbit symmetry about the
+      spot center, like the bowl family's dish placement).
+    """
+    rng = np.random.default_rng(seed + 140_000)
+
+    table, tc = _plane(rng, [0, 0.35, 0.0], 0, 0, 0.5, int(n_scene * 0.4), [0.45, 0.35, 0.25])
+    # shelf: raised platform on two legs at the back of the table, with a
+    # pale spot marker at the placement target
+    shelf_h = 0.16
+    shelf_size = 0.18
+    if pose_shift:
+        shelf_center = np.array(
+            [rng.uniform(0.12, 0.2) * rng.choice([-1.0, 1.0]), rng.uniform(0.5, 0.56), shelf_h]
+        )
+    else:
+        shelf_center = np.array([rng.uniform(-0.1, 0.1), rng.uniform(0.44, 0.52), shelf_h])
+    n_shelf = int(n_scene * 0.25)
+    plat, pf = _plane(rng, shelf_center, 0, 0, shelf_size, int(n_shelf * 0.6), [0.55, 0.45, 0.3])
+    leg_off = shelf_size / 2 - 0.015
+    leg1, l1 = _cylinder(
+        rng, shelf_center + [-leg_off, 0, -shelf_h / 2], [0, 0, 1], 0.008, shelf_h,
+        int(n_shelf * 0.125), [0.5, 0.4, 0.28],
+    )
+    leg2, l2 = _cylinder(
+        rng, shelf_center + [leg_off, 0, -shelf_h / 2], [0, 0, 1], 0.008, shelf_h,
+        int(n_shelf * 0.125), [0.5, 0.4, 0.28],
+    )
+    spot = shelf_center + [0, 0, 0.001]
+    spot_pts, sc = _disk(
+        rng, spot, 0.035, n_shelf - int(n_shelf * 0.6) - 2 * int(n_shelf * 0.125), [0.85, 0.85, 0.9]
+    )
+    # bottle standing on the table (pick step), in front of the shelf
+    if pose_shift:
+        bottle_pos = np.array(
+            [rng.uniform(0.15, 0.22) * rng.choice([-1.0, 1.0]), rng.uniform(0.18, 0.24), 0.0]
+        )
+    else:
+        bottle_pos = np.array([rng.uniform(-0.15, 0.15), rng.uniform(0.22, 0.38), 0.0])
+    bottle_yaw = rng.uniform(0, 2 * np.pi)
+    n_bottle = int(n_scene * 0.35) - (int(n_scene * 0.1) if n_distractors else 0)
+    bottle_local, bc = _bottle(rng, n_bottle, [0.25, 0.45, 0.65], shape_scale=shape_scale)
+    cz, sz = np.cos(bottle_yaw), np.sin(bottle_yaw)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    bottle_world = bottle_local @ Rz.T + bottle_pos
+
+    scene_parts = [table, plat, leg1, leg2, spot_pts, bottle_world]
+    scene_cols = [tc, pf, l1, l2, sc, bc]
+    if n_distractors:
+        dp, dc = _distractors(rng, int(n_scene * 0.1), n_distractors)
+        scene_parts.append(dp)
+        scene_cols.append(dc)
+    scene = PointCloud(points=np.concatenate(scene_parts), colors=np.concatenate(scene_cols))
+    place_scene = PointCloud(
+        points=np.concatenate([p for p, c in zip(scene_parts, scene_cols) if p is not bottle_world]),
+        colors=np.concatenate([c for p, c in zip(scene_parts, scene_cols) if p is not bottle_world]),
+    )
+
+    # pick: top-down neck grasp — TCP at the neck midpoint, finger separation
+    # axis (hand x) at the label azimuth + 90deg so the fingers straddle the
+    # 1.1 cm neck (finger gap interior is +-1.3 cm)
+    body_h = 0.11 * (2.0 - shape_scale)
+    grip_z = body_h + 0.035 * 0.5
+    grip_world = np.array([bottle_pos[0], bottle_pos[1], grip_z])
+    gripper_pts, gripper_cols = _gripper(rng, n_grasp)
+    pick_grasp = PointCloud(points=gripper_pts, colors=gripper_cols)
+    q_pick = _quat_mul(_quat_about([0, 0, 1], bottle_yaw + np.pi / 2), _Q_TOPDOWN)
+    t_pick = grip_world - _quat_apply(q_pick, GRIPPER_TCP[None])[0]
+    pick_pose = np.concatenate([q_pick, t_pick])[None]
+
+    # place: bottle held in hand (same relative transform math as mug/bowl)
+    t_rel = _quat_apply(_Q_TOPDOWN, (bottle_pos - t_pick)[None] @ Rz)[0]
+    bottle_hand_local, bh = _bottle(rng, int(n_grasp * 0.65), [0.25, 0.45, 0.65], shape_scale=shape_scale)
+    bottle_in_hand = _quat_apply(_Q_TOPDOWN, bottle_hand_local) + t_rel
+    grip2, g2c = _gripper(rng, n_grasp - int(n_grasp * 0.65))
+    place_grasp = PointCloud(
+        points=np.concatenate([grip2, bottle_in_hand]),
+        colors=np.concatenate([g2c, bh]),
+    )
+    # bottle pose on the shelf spot: standing upright, any yaw (record one)
+    yaw2 = rng.uniform(0, 2 * np.pi)
+    q_bottle_place = _quat_about([0, 0, 1], yaw2)
+    bottle_place_pos = spot + [0, 0, 0.002]
+    t_relinv = -_quat_apply(_Q_TOPDOWN, t_rel[None])[0]
+    q_place = _quat_mul(q_bottle_place, _Q_TOPDOWN)
+    t_place = bottle_place_pos + _quat_apply(q_bottle_place, t_relinv[None])[0]
+    place_pose = np.concatenate([q_place, t_place])[None]
+
+    pick = TargetPoseDemo(
+        scene_pcd=scene, grasp_pcd=pick_grasp, target_poses=pick_pose,
+        name=f"bottle_{seed}_pick",
+    )
+    place = TargetPoseDemo(
+        scene_pcd=place_scene, grasp_pcd=place_grasp, target_poses=place_pose,
+        name=f"bottle_{seed}_place",
+        symmetry={"axis": [0.0, 0.0, 1.0], "center": bottle_place_pos.tolist()},
+    )
+    return DemoSequence(steps=[pick, place])
+
+
+FAMILIES = {"mug": make_synthetic_demo, "bowl": make_bowl_demo, "bottle": make_bottle_demo}
 
 
 # Diverse-training factor ranges (r3).  The r2 models trained on the narrow

@@ -192,3 +192,55 @@ def test_family_dispatch():
     for split in SPLITS:
         ds = make_split_dataset(split, n_demos=1, family="bowl")
         assert ds[0][0].name.startswith("bowl_")
+
+
+# ---------------- third task family: bottle on shelf ----------------
+
+def test_bottle_pick_keypoints_land_at_grasp_contact():
+    """Bottle family keeps the load-bearing hand-frame convention: posed pick
+    keypoints must touch the bottle neck."""
+    from diffusion_edf_tpu.train.synthetic import make_bottle_demo
+
+    kps = np.array([[0.005, 0.005, 0.105], [-0.005, -0.005, 0.105]])
+    for seed in range(3):
+        demo = make_bottle_demo(seed)[0]
+        kp_w = _pose_apply(demo.target_poses[0], kps)
+        d = np.linalg.norm(demo.scene_pcd.points[None] - kp_w[:, None], axis=-1).min(1)
+        assert d.max() < 0.02, f"seed {seed}: keypoint {d.max()*100:.1f}cm from scene"
+
+
+def test_bottle_place_grasp_cloud_inside_query_bbox():
+    from diffusion_edf_tpu.train.synthetic import make_bottle_demo
+
+    for seed in range(3):
+        demo = make_bottle_demo(seed)[1]
+        frac = (demo.grasp_pcd.points[:, 2] >= 0.08).mean()
+        assert frac > 0.5, f"seed {seed}: only {frac:.2f} of place grasp cloud in bbox"
+        assert demo.symmetry is not None and "center" in demo.symmetry
+
+
+def test_bottle_place_target_stands_on_shelf():
+    """Posed held-bottle cloud must sit just above the shelf platform
+    (z = 0.16) at the spot center."""
+    from diffusion_edf_tpu.train.synthetic import make_bottle_demo
+
+    for seed in range(3):
+        demo = make_bottle_demo(seed)[1]
+        posed = _pose_apply(demo.target_poses[0], demo.grasp_pcd.points)
+        center = np.asarray(demo.symmetry["center"])
+        # bottle-in-hand points (z >= 8 cm in hand frame) should land near the
+        # spot horizontally and above the platform vertically
+        held = posed[demo.grasp_pcd.points[:, 2] >= 0.08]
+        assert held[:, 2].min() > 0.15, f"seed {seed}: bottle below the shelf"
+        xy_off = np.linalg.norm(held[:, :2].mean(0) - center[:2])
+        assert xy_off < 0.05, f"seed {seed}: bottle {xy_off*100:.1f}cm off the spot"
+
+
+def test_bottle_family_dispatch():
+    from diffusion_edf_tpu.train.synthetic import make_split_dataset
+
+    ds = make_synthetic_dataset(n_demos=2, diverse=True, family="bottle")
+    assert ds[0][0].name.startswith("bottle_")
+    for split in SPLITS:
+        d = make_split_dataset(split, n_demos=1, family="bottle")
+        assert d[0][0].name.startswith("bottle_")

@@ -38,7 +38,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
-    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"])
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl", "bottle"])
     p.add_argument("--configs-root-dir", default=None,
                    help="default: panda_mug/{task}_lowres")
     p.add_argument("--checkpoint-dir", required=True)

@@ -49,7 +49,7 @@ def main(argv=None):
     p.add_argument("--configs-root-dir", required=True)
     p.add_argument("--task-type", default="pick", choices=["pick", "place"])
     p.add_argument("--synthetic-demos", type=int, default=10)
-    p.add_argument("--task-family", default="mug", choices=["mug", "bowl"],
+    p.add_argument("--task-family", default="mug", choices=["mug", "bowl", "bottle"],
                    help="synthetic task geometry (train/synthetic.py FAMILIES)")
     p.add_argument("--diverse", action="store_true",
                    help="per-demo mug-scale/pole-tilt/clutter diversity (r3 training distribution)")
