@@ -131,7 +131,14 @@ def evaluate_agent(
     """
     step_idx = 0 if task_type == "pick" else 1
     if symmetry_orbit is None:
-        symmetry_orbit = 72 if task_type == "place" else 0
+        # auto: place tasks always score against the z-orbit; pick tasks do
+        # when the demo declares a symmetry (rotationally symmetric objects —
+        # a bowl rim / bottle neck grasps equally at any azimuth; the demo
+        # records one, like the reference's real bowl/bottle tasks)
+        declared = any(
+            getattr(seq[step_idx], "symmetry", None) for seq in demos
+        )
+        symmetry_orbit = 72 if (task_type == "place" or declared) else 0
     cfg = diffusion_configs or reference_inference_config(
         n_stages=2 if len(getattr(agent, "models", [None])) >= 2 else 1
     )
@@ -165,7 +172,7 @@ def evaluate_agent(
             )
         )
         target_proc = demo_proc.target_poses
-        if symmetry_orbit:
+        if symmetry_orbit and (task_type == "place" or demo_proc.symmetry):
             sym = demo_proc.symmetry or {}
             # the orbit is built about world z; a demo recording a different
             # symmetry axis would silently be scored against the wrong orbit

@@ -422,6 +422,9 @@ def make_bowl_demo(
     pick = TargetPoseDemo(
         scene_pcd=scene, grasp_pcd=pick_grasp, target_poses=pick_pose,
         name=f"bowl_{seed}_pick",
+        # a rim grasp is valid at any azimuth (bowl = body of revolution up
+        # to the small marker); the orbit axis is the bowl's vertical axis
+        symmetry={"axis": [0.0, 0.0, 1.0], "center": bowl_pos.tolist()},
     )
     place = TargetPoseDemo(
         scene_pcd=place_scene, grasp_pcd=place_grasp, target_poses=place_pose,
@@ -567,6 +570,9 @@ def make_bottle_demo(
     pick = TargetPoseDemo(
         scene_pcd=scene, grasp_pcd=pick_grasp, target_poses=pick_pose,
         name=f"bottle_{seed}_pick",
+        # a neck grasp is valid at any azimuth (bottle = body of revolution
+        # up to the label); the orbit axis is the bottle's vertical axis
+        symmetry={"axis": [0.0, 0.0, 1.0], "center": bottle_pos.tolist()},
     )
     place = TargetPoseDemo(
         scene_pcd=place_scene, grasp_pcd=place_grasp, target_poses=place_pose,

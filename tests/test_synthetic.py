@@ -244,3 +244,24 @@ def test_bottle_family_dispatch():
     for split in SPLITS:
         d = make_split_dataset(split, n_demos=1, family="bottle")
         assert d[0][0].name.startswith("bottle_")
+
+
+def test_round_object_pick_demos_declare_orbit_symmetry():
+    """Bowl rims and bottle necks grasp equally at any azimuth: the pick
+    demos must declare the z-orbit so eval scores against it (the mug pick
+    stays asymmetric — the handle pins the grasp)."""
+    from diffusion_edf_tpu.train.synthetic import (
+        make_bottle_demo,
+        make_bowl_demo,
+        make_synthetic_demo,
+    )
+
+    for mk in (make_bowl_demo, make_bottle_demo):
+        demo = mk(0)[0]
+        assert demo.symmetry is not None and "center" in demo.symmetry
+        # center is on the object's vertical axis: the recorded grasp point
+        # must be within reach (rim/neck radius < 10 cm) of the axis
+        t = demo.target_poses[0][4:]
+        c = np.asarray(demo.symmetry["center"])
+        assert np.linalg.norm(t[:2] - c[:2]) < 0.10
+    assert make_synthetic_demo(0)[0].symmetry is None
