@@ -19,6 +19,31 @@ commit_milestone() {  # commit_milestone <msg> <paths...>
     commit -m "$msg" >/dev/null 2>&1 && echo "committed: $msg"
 }
 
+# 0. bowl pick_lowres continuation: the first artifact evals at 0.15 with
+#    medians 1.7 cm / 7.0 deg — under-converged, and it trained BEFORE pick
+#    demos declared the rim-grasp orbit.  Fine-tune from it with the
+#    orbit-aware target augmentation now in the trainer; adopt only if the
+#    4-split eval improves.
+run_wd bowl_pick_ft 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/pick_lowres \
+  --task-type pick --task-family bowl --synthetic-demos 30 --diverse \
+  --init-params-npz checkpoints/panda_bowl/pick_lowres.npz \
+  --lr 1e-4 --max-epochs 400 --eval-every 100 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name bowl_pick_ft \
+  --export-best checkpoints/panda_bowl/pick_lowres_ft.npz
+
+if [ -f checkpoints/panda_bowl/pick_lowres_ft.npz ]; then
+  run_wd eval_bowl_pick_ft 3600 python -m diffusion_edf_tpu.eval \
+    --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/pick_lowres \
+    --checkpoint-dir checkpoints/panda_bowl/pick_lowres_ft.npz \
+    --task-type pick --task-family bowl --synthetic-demos 10 --n-seeds 10 --splits \
+    --out reports/eval_bowl_pick_ft.json
+  commit_milestone "bowl pick orbit-aware fine-tune candidate + 4-split eval" \
+    checkpoints/panda_bowl/pick_lowres_ft.npz reports/eval_bowl_pick_ft.json
+fi
+
 # 1. bottle pick_lowres: warm-start from the mug artifact
 run_wd bottle_pick_lr 4200 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_bottle/pick_lowres \
