@@ -44,12 +44,35 @@ if [ -f checkpoints/panda_bottle/pick_lowres.npz ]; then
     checkpoints/panda_bottle/pick_lowres.npz reports/eval_bottle_pick.json
 fi
 
-# 2. bottle place_lowres: warm-start from the mug place artifact
+
+# 2. bowl place_lowres: COLD at the config lr — the warm-start attempt stuck
+#    in the mug pole-hang mode (28 cm / 171 deg flat through epoch 200), and
+#    the mug place cold curve hits ~1 cm by epoch 100 (learning_curve jsonl):
+#    cold is both the proven recipe and fast to near-threshold.
+run_wd bowl_place_cold 4200 python tools/train_eval_loop.py \
+  --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/place_lowres \
+  --task-type place --task-family bowl --synthetic-demos 30 --diverse \
+  --max-epochs 800 --eval-every 200 --eval-demos 3 --n-seeds 10 \
+  --splits default unseen_poses \
+  --grad-clip-norm 1.0 --lr-min-factor 0.1 \
+  --log-name bowl_place_cold \
+  --export-best checkpoints/panda_bowl/place_lowres.npz
+
+if [ -f checkpoints/panda_bowl/place_lowres.npz ]; then
+  run_wd eval_bowl_place 3600 python -m diffusion_edf_tpu.eval \
+    --configs-root-dir diffusion_edf_tpu/configs/panda_bowl/place_lowres \
+    --checkpoint-dir checkpoints/panda_bowl/place_lowres.npz \
+    --task-type place --task-family bowl --synthetic-demos 10 --n-seeds 10 --splits \
+    --out reports/eval_bowl_place.json
+  commit_milestone "bowl family place_lowres artifact (cold-trained) + 4-split eval" \
+    checkpoints/panda_bowl/place_lowres.npz reports/eval_bowl_place.json
+fi
+
+# 3. bottle place_lowres: COLD (same reasoning as bowl place)
 run_wd bottle_place_lr 4200 python tools/train_eval_loop.py \
   --configs-root-dir diffusion_edf_tpu/configs/panda_bottle/place_lowres \
   --task-type place --task-family bottle --synthetic-demos 30 --diverse \
-  --init-params-npz checkpoints/panda_mug/place_lowres.npz \
-  --lr 2e-4 --max-epochs 400 --eval-every 100 --eval-demos 3 --n-seeds 10 \
+  --max-epochs 800 --eval-every 200 --eval-demos 3 --n-seeds 10 \
   --splits default unseen_poses \
   --grad-clip-norm 1.0 --lr-min-factor 0.1 \
   --log-name bottle_place_lr \
@@ -61,7 +84,7 @@ if [ -f checkpoints/panda_bottle/place_lowres.npz ]; then
     --checkpoint-dir checkpoints/panda_bottle/place_lowres.npz \
     --task-type place --task-family bottle --synthetic-demos 10 --n-seeds 10 --splits \
     --out reports/eval_bottle_place.json
-  commit_milestone "bottle family place_lowres artifact (warm-started) + 4-split eval" \
+  commit_milestone "bottle family place_lowres artifact (cold-trained) + 4-split eval" \
     checkpoints/panda_bottle/place_lowres.npz reports/eval_bottle_place.json
 fi
 
